@@ -1,0 +1,129 @@
+"""ctypes binding to the native C++ Matrix Market parser (native/mtxio.cc).
+
+The reference's MM read is its wall-clock bottleneck (32 s / 99.7 MB/s for a
+3 GB file, README:130-131) because it parses line-at-a-time with strtod
+(ellspmv.c:825-844). The native parser mmaps the file and tokenizes it with
+all host cores, then hands zero-copy NumPy arrays back through ctypes.
+
+Builds to ``ellspmv_tpu/io/_libmtxio.so`` via ``make -C native`` (also
+attempted automatically on first use).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "_libmtxio.so")
+_NATIVE_DIR = os.path.normpath(os.path.join(_HERE, "..", "..", "native"))
+
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+class NativeUnsupported(RuntimeError):
+    """Input not handled by the native fast path; caller should fall back."""
+
+
+class _MtxResult(ctypes.Structure):
+    _fields_ = [
+        ("num_rows", ctypes.c_int64),
+        ("num_columns", ctypes.c_int64),
+        ("num_nonzeros", ctypes.c_int64),
+        ("field", ctypes.c_int32),      # 0=real 1=integer 2=pattern
+        ("symmetry", ctypes.c_int32),   # 0=general 1=symmetric
+        ("rowidx", ctypes.POINTER(ctypes.c_int64)),
+        ("colidx", ctypes.POINTER(ctypes.c_int64)),
+        ("values", ctypes.POINTER(ctypes.c_double)),
+        ("error", ctypes.c_char_p),
+    ]
+
+
+def _try_build() -> bool:
+    makefile = os.path.join(_NATIVE_DIR, "Makefile")
+    if not os.path.exists(makefile):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                       check=True, capture_output=True, timeout=300)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def _load():
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _try_build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+        lib.mtxio_read_matrix.restype = ctypes.POINTER(_MtxResult)
+        lib.mtxio_read_matrix.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.mtxio_free.restype = None
+        lib.mtxio_free.argtypes = [ctypes.POINTER(_MtxResult)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    if os.environ.get("ELLSPMV_TPU_NO_NATIVE"):
+        return False
+    return _load() is not None
+
+
+def read_matrix(path: str, gzipped: bool | None = None,
+                index_dtype=None, value_dtype=np.float64):
+    """Parse `path` with the native library. Raises NativeUnsupported for
+    inputs the native parser does not take (so callers fall back to Python)."""
+    from ellspmv_tpu.config import select_index_dtype
+    from ellspmv_tpu.formats.coo import CooMatrix
+
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native parser not built")
+    want_gzip = 1 if gzipped else (0 if gzipped is not None
+                                   else (1 if path.endswith(".gz") else 0))
+    res = lib.mtxio_read_matrix(path.encode(), want_gzip)
+    if not res:
+        raise NativeUnsupported("native parser returned null")
+    try:
+        r = res.contents
+        if r.error:
+            msg = r.error.decode()
+            if msg.startswith("unsupported"):
+                raise NativeUnsupported(msg)
+            from ellspmv_tpu.io.mtx import MtxFormatError
+            raise MtxFormatError(msg)
+        nnz = r.num_nonzeros
+        # Copy out of the C buffers so we can free them eagerly.
+        rowidx = np.ctypeslib.as_array(r.rowidx, shape=(nnz,)).copy()
+        colidx = np.ctypeslib.as_array(r.colidx, shape=(nnz,)).copy()
+        if r.field == 2:  # pattern → value 1.0 (ellspmv.c:882)
+            values = np.ones(nnz, dtype=value_dtype)
+        else:
+            values = np.ctypeslib.as_array(
+                r.values, shape=(nnz,)).astype(value_dtype, copy=True)
+        idx_dt = select_index_dtype(r.num_rows, r.num_columns, nnz,
+                                    index_dtype)
+        field = ("real", "integer", "pattern")[r.field]
+        symmetry = ("general", "symmetric")[r.symmetry]
+        return CooMatrix(num_rows=int(r.num_rows),
+                         num_columns=int(r.num_columns),
+                         rowidx=rowidx.astype(idx_dt, copy=False),
+                         colidx=colidx.astype(idx_dt, copy=False),
+                         values=values, symmetry=symmetry, field=field)
+    finally:
+        lib.mtxio_free(res)
