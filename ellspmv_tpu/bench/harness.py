@@ -1,0 +1,184 @@
+"""Benchmark harness: warmup + timed repeat loop with the reference's exact
+metric accounting, plus an HBM roofline (the TPU replacement for the
+reference's PAPI hardware-counter region, SURVEY §5).
+
+Metric formulas are byte-for-byte those of the reference:
+
+- ELL (ellspmv.c:1857-1862):
+    flops     = 2*(ellsize + diagsize)          # diagsize counted always
+    min_bytes = rows*sv + cols*sv + ellsize*si + ellsize*sv + diagsize*sv
+    max_bytes = rows*sv + ellsize*sv + ellsize*si + ellsize*sv
+                + diagsize*sv + diagsize*sv     # x re-read per nonzero
+- CSR (csrspmv.c:2882-2887): same plus rowptr bytes ((rows+1)*si min,
+    rows*si max).
+- Gnz/s uses the file's stored nonzero count (ellspmv.c:1871).
+
+Two timing protocols:
+
+- ``per_iter``: one device dispatch per iteration, synchronized — the
+  reference's protocol (t0 before kernel, t1 after the barrier,
+  ellspmv.c:1825-1847). Reported per-iteration times include host dispatch
+  overhead, which on a remote-tunneled TPU is tens of ms.
+- ``chained``: `repeat` iterations run inside one jitted `lax.fori_loop`
+  with a forced serial dependency (x_{k+1} = scale*y_k), timed at two loop
+  lengths; the slope isolates pure device time per iteration. This is the
+  protocol `bench.py` uses for roofline numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ellspmv_tpu.config import hbm_peak_bytes_per_s
+from ellspmv_tpu.formats.csr import CsrMatrix
+from ellspmv_tpu.formats.ell import EllMatrix
+
+
+@dataclasses.dataclass
+class SpmvMetrics:
+    """Static per-iteration work accounting (reference formulas)."""
+    num_nonzeros: int      # stored entries in the file (Gnz/s numerator)
+    num_flops: int
+    min_bytes: int
+    max_bytes: int
+
+    @staticmethod
+    def for_matrix(matrix) -> "SpmvMetrics":
+        if isinstance(matrix, EllMatrix):
+            sv = np.dtype(matrix.values.dtype).itemsize
+            si = np.dtype(matrix.colidx.dtype).itemsize
+            n, m = matrix.num_rows, matrix.num_columns
+            ellsize, diagsize = matrix.ellsize, matrix.diagsize
+            return SpmvMetrics(
+                num_nonzeros=matrix.num_nonzeros,
+                num_flops=2 * (ellsize + diagsize),
+                min_bytes=(n * sv + m * sv + ellsize * si + ellsize * sv
+                           + diagsize * sv),
+                max_bytes=(n * sv + ellsize * sv + ellsize * si
+                           + ellsize * sv + diagsize * sv + diagsize * sv))
+        if isinstance(matrix, CsrMatrix):
+            sv = np.dtype(matrix.values.dtype).itemsize
+            si = np.dtype(matrix.rowptr.dtype).itemsize
+            n, m = matrix.num_rows, matrix.num_columns
+            csrsize, diagsize = matrix.csrsize, matrix.diagsize
+            return SpmvMetrics(
+                num_nonzeros=matrix.num_nonzeros,
+                num_flops=2 * (csrsize + diagsize),
+                min_bytes=(n * sv + m * sv + (n + 1) * si + csrsize * si
+                           + csrsize * sv + diagsize * sv),
+                max_bytes=(n * sv + csrsize * sv + n * si + csrsize * si
+                           + csrsize * sv + diagsize * sv + diagsize * sv))
+        raise TypeError(f"unsupported matrix type {type(matrix)}")
+
+
+@dataclasses.dataclass
+class BenchResult:
+    times: list[float]          # seconds per timed iteration
+    metrics: SpmvMetrics
+    y: jax.Array | None         # result after warmup+timed iterations
+    protocol: str
+    hbm_peak: float             # bytes/s roofline denominator
+
+    @property
+    def best(self) -> float:
+        return min(self.times)
+
+    def gnz_per_s(self, t=None) -> float:
+        return self.metrics.num_nonzeros * 1e-9 / (t or self.best)
+
+    def gflop_per_s(self, t=None) -> float:
+        return self.metrics.num_flops * 1e-9 / (t or self.best)
+
+    def min_gb_per_s(self, t=None) -> float:
+        return self.metrics.min_bytes * 1e-9 / (t or self.best)
+
+    def max_gb_per_s(self, t=None) -> float:
+        return self.metrics.max_bytes * 1e-9 / (t or self.best)
+
+    def roofline_fraction(self) -> float:
+        """Achieved effective bandwidth (min-bytes model) / HBM peak."""
+        return self.metrics.min_bytes / self.best / self.hbm_peak
+
+    def iteration_lines(self) -> list[str]:
+        """Per-iteration report in the reference's format
+        (ellspmv.c:1868-1875)."""
+        out = []
+        for t in self.times:
+            out.append(
+                f"{t:.6f} seconds ({self.gnz_per_s(t):.3f} Gnz/s, "
+                f"{self.gflop_per_s(t):.3f} Gflop/s, "
+                f"{self.min_gb_per_s(t):.1f} to {self.max_gb_per_s(t):.1f} "
+                f"GB/s)")
+        return out
+
+
+def _sync(x):
+    # Through the axon remote tunnel, block_until_ready can return before
+    # device completion; a 1-element device->host fetch is a true fence.
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
+                   warmup: int = 0, protocol: str = "per_iter",
+                   device=None, metrics_matrix=None) -> BenchResult:
+    """Benchmark `spmv_fn(matrix, x, y) -> y_new`.
+
+    per_iter: mirrors the reference loop — `warmup` untimed iterations
+    (ellspmv.c:1745-1801) then `repeat` timed ones, accumulating into y.
+    chained: y-accumulation with a serial x-dependency inside one jit;
+    returns `repeat` copies of the slope time.
+    """
+    metrics = SpmvMetrics.for_matrix(
+        matrix if metrics_matrix is None else metrics_matrix)
+    hbm_peak = hbm_peak_bytes_per_s(device)
+    x = jnp.asarray(x)
+    if protocol == "per_iter":
+        yk = None if y is None else jnp.asarray(y)
+        for _ in range(warmup):
+            yk = spmv_fn(matrix, x, yk)
+        _sync(yk if yk is not None else x)
+        times = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            yk = spmv_fn(matrix, x, yk)
+            _sync(yk)
+            times.append(time.perf_counter() - t0)
+        return BenchResult(times, metrics, yk, protocol, hbm_peak)
+
+    if protocol == "chained":
+        if matrix.num_rows != matrix.num_columns:
+            raise ValueError("chained protocol needs a square matrix "
+                             "(x is re-derived from y each iteration)")
+        scale = jnp.asarray(0.5, matrix.values.dtype)
+
+        def make_loop(iters: int):
+            @jax.jit
+            def run(x0, y0):
+                def body(_, carry):
+                    xk, yk = carry
+                    yn = spmv_fn(matrix, xk, yk)
+                    # serial dependency so XLA cannot hoist or overlap
+                    return yn * scale, yn
+                return jax.lax.fori_loop(0, iters, body, (x0, y0))
+            return run
+
+        y0 = jnp.zeros(matrix.num_rows, matrix.values.dtype) if y is None \
+            else jnp.asarray(y)
+        lo, hi = max(1, warmup or 2), max(4, repeat)
+        run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
+        _sync(run_lo(x, y0)); _sync(run_hi(x, y0))  # compile
+        t0 = time.perf_counter(); _sync(run_lo(x, y0))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); out = run_hi(x, y0); _sync(out)
+        t_hi = time.perf_counter() - t0
+        per_iter = max((t_hi - t_lo) / hi, 1e-12)
+        return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
+                           hbm_peak)
+
+    raise ValueError(f"unknown protocol {protocol!r}")

@@ -1,0 +1,434 @@
+"""Shared CLI implementation for the `ellspmv` and `csrspmv` programs.
+
+Flag-compatible with the reference's hand-rolled parsers
+(parse_program_options, ellspmv.c:465-611 / csrspmv.c:667-899): both
+``--opt=v`` and ``--opt v`` forms, ``--`` terminator, up to three positional
+Matrix Market paths ``A [x] [y]``, and the full option set. CPU-specific
+options are accepted and mapped to their TPU-native meaning or no-op'd with
+a notice:
+
+- ``--partition-rows`` / ``--rows-per-thread`` → row sharding across mesh
+  devices (the OpenMP-thread analogue, SURVEY §2.4);
+- ``--partition-nonzeros`` / ``--precompute-partition`` → nonzero-balanced
+  device row splits;
+- ``--columns-per-thread`` → no-op (NUMA first-touch placement has no HBM
+  analogue);
+- ``--l1/l2-prefetch-distance`` → no-op (A64FX MSRs; VMEM staging in the
+  Pallas kernel plays this role);
+- ``--papi-*`` → the roofline/metrics reporter (PAPI counters have no TPU
+  analogue; achieved-bandwidth-vs-peak replaces them, SURVEY §5).
+
+Output protocol matches the reference: stderr is the log channel, stdout the
+data channel (y as a Matrix Market vector, suppressed by ``-q``,
+ellspmv.c:1899-1912).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+PROGRAM_VERSION = "0.1.0"
+
+
+class CliError(Exception):
+    pass
+
+
+def _split_eq(arg: str, name: str):
+    if arg == name:
+        return None
+    if arg.startswith(name + "="):
+        return arg[len(name) + 1:]
+    return False
+
+
+class Options:
+    def __init__(self, program: str):
+        self.program = program
+        self.A_path = None
+        self.x_path = None
+        self.y_path = None
+        self.gzip = False
+        self.separate_diagonal = False
+        self.sort_rows = False
+        self.repeat = 1
+        self.warmup = 0
+        self.quiet = False
+        self.verbose = 0
+        # csrspmv partition flags (mapped to device sharding)
+        self.partition = "rows"
+        self.precompute_partition = False
+        self.rows_per_thread = None
+        self.columns_per_thread = None
+        self.l1_prefetch_distance = None
+        self.l2_prefetch_distance = None
+        # papi flags (mapped to roofline reporting)
+        self.papi_event_file = None
+        self.papi_event_format = "plain"
+        self.papi_event_per_thread = False
+        self.papi_event_summary = False
+        # TPU-native extensions
+        self.precision = "float64"
+        self.index_width = None          # None=auto, 32, 64
+        self.backend = "auto"
+        self.protocol = "per_iter"
+        self.devices = 1
+
+
+def print_help(program: str, csr: bool, f=None):
+    f = f or sys.stdout
+    f.write(f"Usage: {program} [OPTION..] A [x] [y]\n\n")
+    f.write(" Multiply a matrix by a vector: y := A*x + y.\n\n")
+    f.write(" Positional arguments are:\n")
+    f.write("  A    path to Matrix Market file for the matrix A\n")
+    f.write("  x    optional path to Matrix Market file for the vector x\n")
+    f.write("  y    optional path to Matrix Market file for the vector y\n\n")
+    f.write(" Other options are:\n")
+    f.write("  -z, --gzip, --gunzip, --ungzip    filter files through gzip\n")
+    f.write("  --separate-diagonal       store diagonal nonzeros separately\n")
+    f.write("  --sort-rows               sort nonzeros by column within each row\n")
+    if csr:
+        f.write("  --partition-rows          partition rows evenly among devices (default)\n")
+        f.write("  --partition-nonzeros      partition nonzeros evenly among devices\n")
+        f.write("  --precompute-partition    perform per-device partitioning once as a precomputation\n")
+        f.write("  --rows-per-thread=N..     comma-separated list of rows assigned to devices\n")
+        f.write("  --columns-per-thread=N..  accepted for compatibility (no HBM analogue)\n")
+    f.write("  --repeat=N                repeat matrix-vector multiplication N times\n")
+    f.write("  --warmup=N                perform N additional warmup iterations\n")
+    f.write("  -q, --quiet               do not print Matrix Market output\n")
+    f.write("  -v, --verbose             be more verbose\n\n")
+    f.write(" Options for performance monitoring are:\n")
+    f.write("  --papi-event-file=FILE    accepted for compatibility (no PAPI on TPU;\n")
+    f.write("                            a roofline report replaces it)\n")
+    f.write("  --papi-event-format=FMT   output format for metrics: plain or csv. [plain]\n")
+    f.write("  --papi-event-per-thread   display metrics per device\n")
+    f.write("  --papi-event-summary      display summary of performance monitoring\n\n")
+    if csr:
+        f.write(" Options for hardware cache/prefetch tuning are:\n")
+        f.write("  --l1-prefetch-distance=N  accepted for compatibility (A64FX only)\n")
+        f.write("  --l2-prefetch-distance=N  accepted for compatibility (A64FX only)\n\n")
+    f.write(" TPU-native options are:\n")
+    f.write("  --precision=DTYPE         float64 (default), float32 or bfloat16\n")
+    f.write("  --index-width=N           32 or 64 (default: auto; IDXTYPEWIDTH analogue)\n")
+    f.write("  --backend=B               auto (default), pallas or xla\n")
+    f.write("  --protocol=P              per_iter (default) or chained timing\n")
+    f.write("  --devices=N               shard rows across N mesh devices\n\n")
+    f.write("  -h, --help                display this help and exit\n")
+    f.write("  --version                 display version information and exit\n")
+
+
+def print_version(program: str, f=None):
+    f = f or sys.stdout
+    import jax
+    f.write(f"{program} {PROGRAM_VERSION} (ellspmv-tpu)\n")
+    f.write("row/column offsets: 32-bit or 64-bit (auto-selected)\n")
+    f.write(f"jax: {jax.__version__}\n")
+    try:
+        devs = jax.devices()
+        f.write(f"devices: {len(devs)} x {devs[0].device_kind}\n")
+    except Exception:
+        f.write("devices: unavailable\n")
+
+
+def parse_args(argv: list[str], program: str, csr: bool) -> Options:
+    opts = Options(program)
+    positional = []
+    i = 0
+    only_positional = False
+
+    def need_value(val, name, it):
+        if val is None:
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                raise CliError(f"option '{name}' requires an argument")
+            return argv[i]
+        return val
+
+    while i < len(argv):
+        arg = argv[i]
+        if only_positional or not arg.startswith("-") or arg == "-":
+            positional.append(arg)
+            i += 1
+            continue
+        if arg == "--":
+            only_positional = True
+            i += 1
+            continue
+        if arg in ("-h", "--help"):
+            print_help(program, csr)
+            raise SystemExit(0)
+        if arg == "--version":
+            print_version(program)
+            raise SystemExit(0)
+        if arg in ("-z", "--gzip", "--gunzip", "--ungzip"):
+            opts.gzip = True
+        elif arg == "--separate-diagonal":
+            opts.separate_diagonal = True
+        elif arg == "--sort-rows":
+            opts.sort_rows = True
+        elif arg in ("-q", "--quiet"):
+            opts.quiet = True
+        elif arg in ("-v", "--verbose"):
+            opts.verbose += 1
+        elif arg == "-vv":
+            opts.verbose += 2
+        elif (v := _split_eq(arg, "--repeat")) is not False:
+            opts.repeat = int(need_value(v, "--repeat", i))
+        elif (v := _split_eq(arg, "--warmup")) is not False:
+            opts.warmup = int(need_value(v, "--warmup", i))
+        elif csr and arg == "--partition-rows":
+            opts.partition = "rows"
+        elif csr and arg == "--partition-nonzeros":
+            opts.partition = "nonzeros"
+        elif csr and arg == "--precompute-partition":
+            opts.precompute_partition = True
+        elif csr and (v := _split_eq(arg, "--rows-per-thread")) is not False:
+            v = need_value(v, "--rows-per-thread", i)
+            opts.rows_per_thread = [int(s) for s in v.split(",") if s]
+        elif csr and (v := _split_eq(arg, "--columns-per-thread")) is not False:
+            v = need_value(v, "--columns-per-thread", i)
+            opts.columns_per_thread = [int(s) for s in v.split(",") if s]
+        elif csr and (v := _split_eq(arg, "--l1-prefetch-distance")) is not False:
+            opts.l1_prefetch_distance = int(need_value(v, "--l1-prefetch-distance", i))
+        elif csr and (v := _split_eq(arg, "--l2-prefetch-distance")) is not False:
+            opts.l2_prefetch_distance = int(need_value(v, "--l2-prefetch-distance", i))
+        elif (v := _split_eq(arg, "--papi-event-file")) is not False:
+            opts.papi_event_file = need_value(v, "--papi-event-file", i)
+        elif (v := _split_eq(arg, "--papi-event-format")) is not False:
+            opts.papi_event_format = need_value(v, "--papi-event-format", i)
+            if opts.papi_event_format not in ("plain", "csv"):
+                raise CliError("--papi-event-format must be plain or csv")
+        elif arg == "--papi-event-per-thread":
+            opts.papi_event_per_thread = True
+        elif arg == "--papi-event-summary":
+            opts.papi_event_summary = True
+        elif (v := _split_eq(arg, "--precision")) is not False:
+            opts.precision = need_value(v, "--precision", i)
+            if opts.precision not in ("float64", "float32", "bfloat16"):
+                raise CliError("--precision must be float64, float32 or bfloat16")
+        elif (v := _split_eq(arg, "--index-width")) is not False:
+            opts.index_width = int(need_value(v, "--index-width", i))
+            if opts.index_width not in (32, 64):
+                raise CliError("--index-width must be 32 or 64")
+        elif (v := _split_eq(arg, "--backend")) is not False:
+            opts.backend = need_value(v, "--backend", i)
+            if opts.backend not in ("auto", "pallas", "xla"):
+                raise CliError("--backend must be auto, pallas or xla")
+        elif (v := _split_eq(arg, "--protocol")) is not False:
+            opts.protocol = need_value(v, "--protocol", i)
+            if opts.protocol not in ("per_iter", "chained"):
+                raise CliError("--protocol must be per_iter or chained")
+        elif (v := _split_eq(arg, "--devices")) is not False:
+            opts.devices = int(need_value(v, "--devices", i))
+        else:
+            raise CliError(f"unrecognized option '{arg}'")
+        i += 1
+
+    if len(positional) > 3:
+        raise CliError("too many positional arguments")
+    if not positional:
+        # mirror the reference: print usage and fail (ellspmv.c:607-610)
+        sys.stderr.write(f"Usage: {program} [OPTION..] A [x] [y]\n")
+        raise SystemExit(1)
+    opts.A_path = positional[0]
+    if len(positional) > 1:
+        opts.x_path = positional[1]
+    if len(positional) > 2:
+        opts.y_path = positional[2]
+    return opts
+
+
+def run(argv: list[str], program: str, fmt: str) -> int:
+    """Main body shared by both programs; `fmt` is 'ell' or 'csr'."""
+    csr = fmt == "csr"
+    try:
+        opts = parse_args(argv, program, csr)
+    except (CliError, ValueError) as e:
+        sys.stderr.write(f"{program}: {e}\n")
+        return 1
+
+    log = sys.stderr
+    import jax
+
+    if opts.precision == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from ellspmv_tpu.bench.harness import SpmvMetrics, benchmark_spmv
+    from ellspmv_tpu.formats.csr import csr_from_coo
+    from ellspmv_tpu.formats.ell import ell_from_coo
+    from ellspmv_tpu.io.mtx import read_matrix, read_vector, write_vector
+    from ellspmv_tpu.ops import spmv
+
+    if opts.papi_event_file and opts.verbose:
+        log.write(f"{program}: note: PAPI is unavailable on TPU; reporting "
+                  "achieved bandwidth against the HBM roofline instead\n")
+    if (opts.columns_per_thread or opts.l1_prefetch_distance
+            or opts.l2_prefetch_distance) and opts.verbose:
+        log.write(f"{program}: note: NUMA/A64FX placement options have no "
+                  "TPU analogue; ignored\n")
+
+    # Phase 2: read the matrix (timed, like ellspmv.c:1264-1377)
+    t0 = time.perf_counter()
+    try:
+        coo = read_matrix(opts.A_path, gzipped=opts.gzip or None,
+                          index_dtype=(f"int{opts.index_width}"
+                                       if opts.index_width else None),
+                          value_dtype=np.float64)
+    except Exception as e:
+        sys.stderr.write(f"{program}: {opts.A_path}: {e}\n")
+        return 1
+    t_read = time.perf_counter() - t0
+    if opts.verbose:
+        import os
+        try:
+            mb = os.path.getsize(opts.A_path) / 1e6
+        except OSError:
+            mb = 0.0
+        log.write(f"mtxfile_read: {t_read:.6f} seconds ({mb / t_read:.1f} "
+                  f"MB/s)\n")
+
+    # Phase 3: convert (timed, like ellspmv.c:1379-1486)
+    t0 = time.perf_counter()
+    if csr:
+        mat = csr_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                           sort_rows=opts.sort_rows,
+                           value_dtype=opts.precision,
+                           index_dtype=(f"int{opts.index_width}"
+                                        if opts.index_width else None))
+        convert_name = "csr_from_coo"
+        per_row = (f", {mat.rowsize_min} to {mat.rowsize_max} "
+                   f"nonzeros per row")
+    else:
+        mat = ell_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                           sort_rows=opts.sort_rows,
+                           value_dtype=opts.precision,
+                           index_dtype=(f"int{opts.index_width}"
+                                        if opts.index_width else None))
+        convert_name = "ell_from_coo"
+        per_row = f", {mat.rowsize} nonzeros per row"
+    t_conv = time.perf_counter() - t0
+    if opts.verbose:
+        log.write(f"{convert_name}: {t_conv:.6f} seconds, "
+                  f"{mat.num_rows:,} rows, {mat.num_nonzeros:,} nonzeros"
+                  f"{per_row}\n")
+
+    # Phase 4: vectors
+    try:
+        if opts.x_path:
+            x = read_vector(opts.x_path, gzipped=opts.gzip or None)
+            if len(x) != mat.num_columns:
+                sys.stderr.write(
+                    f"{program}: {opts.x_path}: expected vector of length "
+                    f"{mat.num_columns}, got {len(x)}\n")
+                return 1
+        else:
+            x = np.ones(mat.num_columns)   # ellspmv.c:1502-1505
+        if opts.y_path:
+            y = read_vector(opts.y_path, gzipped=opts.gzip or None)
+            if len(y) != mat.num_rows:
+                sys.stderr.write(
+                    f"{program}: {opts.y_path}: expected vector of length "
+                    f"{mat.num_rows}, got {len(y)}\n")
+            y = y.astype(opts.precision)
+        else:
+            y = None                        # zeros (ellspmv.c:1610-1613)
+    except Exception as e:
+        sys.stderr.write(f"{program}: {e}\n")
+        return 1
+    x = x.astype(opts.precision)
+
+    mat = mat.device_put()
+
+    # Sharded path when requested
+    if opts.devices > 1:
+        from ellspmv_tpu.parallel.spmv import shard_matrix, sharded_spmv_fn
+        try:
+            sharded = shard_matrix(
+                mat, opts.devices,
+                partition=opts.partition,
+                rows_per_device=opts.rows_per_thread)
+        except ValueError as e:
+            sys.stderr.write(f"{program}: {e}\n")
+            return 1
+        spmv_fn = sharded_spmv_fn(sharded, backend=opts.backend)
+        mat_for_bench = sharded
+        if opts.verbose >= 2:
+            for line in sharded.workload_report():
+                log.write(line + "\n")
+    else:
+        def spmv_fn(m, xv, yv):
+            return spmv(m, xv, yv, backend=opts.backend)
+        mat_for_bench = mat
+
+    # Phase 5: benchmark (warmup + timed loop, ellspmv.c:1745-1876)
+    kernel_name = _kernel_name(fmt, opts, mat)
+    try:
+        res = benchmark_spmv(spmv_fn, mat_for_bench, x, y,
+                             repeat=opts.repeat, warmup=opts.warmup,
+                             protocol=opts.protocol, metrics_matrix=mat)
+    except Exception as e:
+        sys.stderr.write(f"{program}: benchmark failed: {e}\n")
+        return 1
+    if opts.verbose:
+        for line in res.iteration_lines():
+            log.write(f"{kernel_name}: {line}\n")
+    if opts.papi_event_summary or opts.papi_event_file:
+        _metrics_report(res, opts, log)
+
+    # Phase 6: write y to stdout (ellspmv.c:1898-1912)
+    if not opts.quiet:
+        t0 = time.perf_counter()
+        write_vector(sys.stdout, np.asarray(res.y, dtype=np.float64))
+        if opts.verbose:
+            log.write(f"mtxfile_write: {time.perf_counter() - t0:.6f} "
+                      "seconds\n")
+    return 0
+
+
+def _kernel_name(fmt: str, opts, mat) -> str:
+    """Kernel label in the reference's naming (gemv/gemvsd/gemv16, README:133
+    output; csrgemv variants csrspmv.c:2851-2868)."""
+    if fmt == "ell":
+        if opts.separate_diagonal and mat.rowsize == 16:
+            return "gemv16"
+        return "gemvsd" if opts.separate_diagonal else "gemv"
+    if opts.partition == "nonzeros":
+        return "csrgemvnz"
+    if opts.rows_per_thread:
+        return "csrgemvrp"
+    return "csrgemvsd" if opts.separate_diagonal else "csrgemv"
+
+
+def _metrics_report(res, opts, log):
+    """Roofline summary — the TPU-native stand-in for the PAPI region report
+    (papi_util.c:424-494), honoring the plain/csv format switch."""
+    m = res.metrics
+    t = res.best
+    if opts.papi_event_format == "csv":
+        log.write("region,repeat,time,nonzeros,flops,min_bytes,max_bytes,"
+                  "gnz_per_s,gflop_per_s,min_gb_per_s,max_gb_per_s,"
+                  "hbm_peak_gb_per_s,roofline_fraction\n")
+        log.write(f"gemv,{len(res.times)},{t:.9f},{m.num_nonzeros},"
+                  f"{m.num_flops},{m.min_bytes},{m.max_bytes},"
+                  f"{res.gnz_per_s():.3f},{res.gflop_per_s():.3f},"
+                  f"{res.min_gb_per_s():.3f},{res.max_gb_per_s():.3f},"
+                  f"{res.hbm_peak / 1e9:.1f},"
+                  f"{res.roofline_fraction():.4f}\n")
+        return
+    log.write("Region: gemv\n")
+    log.write(f"  iterations: {len(res.times)}\n")
+    log.write(f"  best time: {t:.6f} s\n")
+    log.write(f"  nonzeros: {m.num_nonzeros:,}  flops/iter: {m.num_flops:,}\n")
+    log.write(f"  bytes/iter: {m.min_bytes:,} (x once) to {m.max_bytes:,} "
+              "(x per nonzero)\n")
+    log.write(f"  throughput: {res.gnz_per_s():.3f} Gnz/s, "
+              f"{res.gflop_per_s():.3f} Gflop/s\n")
+    log.write(f"  effective bandwidth: {res.min_gb_per_s():.1f} to "
+              f"{res.max_gb_per_s():.1f} GB/s\n")
+    log.write(f"  HBM roofline: {res.hbm_peak / 1e9:.1f} GB/s peak -> "
+              f"{100 * res.roofline_fraction():.1f}% of peak "
+              "(min-bytes model)\n")

@@ -79,7 +79,10 @@ def _open_stream(path_or_file, gzipped: bool | None = None):
         f = open(path, "rb")
         close = True
     try:
-        if gzipped is None:
+        if gzipped is None or gzipped:
+            # zlib's gzopen (the reference's -z path, ellspmv.c:1285) reads
+            # uncompressed files transparently; match that by sniffing the
+            # magic bytes even when gzip was requested explicitly.
             magic = f.peek(2)[:2] if hasattr(f, "peek") else b""
             gzipped = magic == b"\x1f\x8b"
         if gzipped:

@@ -8,7 +8,11 @@ on a multiply) and (b) multi-chip sharding is exercised on a virtual mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend (the session environment may pin JAX_PLATFORMS to a
+# TPU platform, and TPU plugins may re-pin it at interpreter startup; tests
+# need exact fp64 and the 8-device virtual mesh).
+if not os.environ.get("ELLSPMV_TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("ELLSPMV_TPU_TEST_TPU"):
+    # Re-pin after import: a site-installed TPU plugin (e.g. the axon
+    # tunnel) can override JAX_PLATFORMS during its registration.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

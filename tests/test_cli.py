@@ -1,0 +1,205 @@
+"""CLI integration tests: the ellspmv/csrspmv programs end-to-end, including
+the reference's de facto integration test (identical stdout from both
+programs, SURVEY §4)."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.cli import csrspmv, ellspmv
+from ellspmv_tpu.io.mtx import read_vector, write_matrix, write_vector
+from tests.conftest import random_coo
+
+MTX = """%%MatrixMarket matrix coordinate real general
+4 5 9
+1 1 1.5
+1 4 1.5
+2 2 1
+3 3 3
+4 1 2
+4 2 1
+4 3 1
+4 4 1
+4 5 1
+"""
+
+
+@pytest.fixture
+def mtx_file(tmp_path):
+    p = tmp_path / "test.mtx"
+    p.write_text(MTX)
+    return str(p)
+
+
+def run_cli(main, argv, capsys):
+    rc = main(argv)
+    out = capsys.readouterr()
+    return rc, out.out, out.err
+
+
+@pytest.mark.parametrize("main", [ellspmv.main, csrspmv.main])
+def test_golden_output(main, mtx_file, capsys):
+    rc, out, err = run_cli(main, [mtx_file], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=1e-14)
+
+
+def test_ell_equals_csr_stdout(rng, tmp_path, capsys):
+    coo = random_coo(rng, 40, 40, 200, with_dups=True)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, out_e, _ = run_cli(ellspmv.main, [p], capsys)
+    _, out_c, _ = run_cli(csrspmv.main, [p], capsys)
+    # Same header/shape; values agree to reduction-order ulp noise (the two
+    # programs sum each row in different orders).
+    assert out_e.splitlines()[:2] == out_c.splitlines()[:2]
+    ye = read_vector(io.BytesIO(out_e.encode()))
+    yc = read_vector(io.BytesIO(out_c.encode()))
+    from tests.conftest import assert_fp64_close
+    assert_fp64_close(ye, yc)
+
+
+@pytest.mark.parametrize("flags", [
+    [], ["--separate-diagonal"], ["--sort-rows"],
+    ["--separate-diagonal", "--sort-rows"],
+    ["--repeat=3", "--warmup=2"], ["--precision=float32"],
+    ["--index-width=64"], ["--backend=xla"],
+])
+def test_flag_combinations(flags, mtx_file, capsys):
+    rc, out, err = run_cli(ellspmv.main, flags + [mtx_file], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    tol = 1e-5 if "--precision=float32" in flags else 1e-14
+    # y accumulates across warmup AND timed iterations, as in the reference
+    # (the warmup loop dispatches the same kernel on the same y,
+    # ellspmv.c:1745-1801).
+    iters = 1
+    for f in flags:
+        if f.startswith("--repeat="):
+            iters = int(f.split("=")[1])
+    for f in flags:
+        if f.startswith("--warmup="):
+            iters += int(f.split("=")[1])
+    np.testing.assert_allclose(y, np.array([3, 1, 3, 6.]) * iters, rtol=tol)
+
+
+def test_x_and_y_files(mtx_file, tmp_path, capsys):
+    xp, yp = str(tmp_path / "x.mtx"), str(tmp_path / "y.mtx")
+    write_vector(xp, np.array([1.0, 2.0, 3.0, 4.0, 5.0]))
+    write_vector(yp, np.array([100.0, 100.0, 100.0, 100.0]))
+    rc, out, _ = run_cli(ellspmv.main, [mtx_file, xp, yp], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    # rows: [1.5,0,0,1.5,0]x=7.5; [0,1,..]x=2; 3*3=9; [2,1,1,1,1]x=16
+    np.testing.assert_allclose(y, [107.5, 102, 109, 116], rtol=1e-14)
+
+
+def test_wrong_vector_length(mtx_file, tmp_path, capsys):
+    xp = str(tmp_path / "x.mtx")
+    write_vector(xp, np.ones(3))
+    rc, _, err = run_cli(ellspmv.main, [mtx_file, xp], capsys)
+    assert rc == 1 and "expected vector of length 5" in err
+
+
+def test_quiet_and_verbose(mtx_file, capsys):
+    rc, out, err = run_cli(ellspmv.main, ["-q", "-v", "--repeat=2",
+                                          mtx_file], capsys)
+    assert rc == 0 and out == ""
+    assert "mtxfile_read:" in err
+    assert "ell_from_coo:" in err
+    assert err.count("gemv:") == 2
+    assert "Gnz/s" in err and "Gflop/s" in err and "GB/s" in err
+
+
+def test_verbose_kernel_names(mtx_file, capsys):
+    _, _, err = run_cli(ellspmv.main,
+                        ["-q", "-v", "--separate-diagonal", mtx_file], capsys)
+    assert "gemvsd:" in err
+    _, _, err = run_cli(csrspmv.main, ["-q", "-v", mtx_file], capsys)
+    assert "csrgemv:" in err
+    _, _, err = run_cli(csrspmv.main,
+                        ["-q", "-v", "--partition-nonzeros", "--devices=2",
+                         mtx_file], capsys)
+    assert "csrgemvnz:" in err
+
+
+def test_gemv16_kernel_name(tmp_path, rng, capsys):
+    # 17 nnz in one row incl. diagonal -> rowsize 16 once diagonal splits
+    coo = random_coo(rng, 32, 32, 0)
+    rows = np.full(17, 3, np.int32)
+    cols = np.arange(17).astype(np.int32)
+    import dataclasses
+    coo = dataclasses.replace(coo, rowidx=rows, colidx=cols,
+                              values=np.ones(17))
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, _, err = run_cli(ellspmv.main,
+                        ["-q", "-v", "--separate-diagonal", p], capsys)
+    assert "gemv16:" in err
+
+
+def test_sharded_cli(mtx_file, capsys):
+    rc, out, err = run_cli(csrspmv.main,
+                           ["--devices=4", "-v", "-v", mtx_file], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=1e-14)
+    assert "device" in err   # -vv workload table
+
+
+def test_papi_flags_and_roofline(mtx_file, capsys):
+    rc, _, err = run_cli(ellspmv.main,
+                         ["-q", "--papi-event-summary", mtx_file], capsys)
+    assert rc == 0 and "HBM roofline" in err
+    rc, _, err = run_cli(ellspmv.main,
+                         ["-q", "--papi-event-summary",
+                          "--papi-event-format=csv", mtx_file], capsys)
+    assert rc == 0 and "region,repeat,time" in err
+
+
+def test_gzip_flag(tmp_path, capsys):
+    import gzip
+    p = str(tmp_path / "m.mtx.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(MTX.encode())
+    rc, out, _ = run_cli(ellspmv.main, ["-z", p], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=1e-14)
+
+
+def test_usage_without_args(capsys):
+    with pytest.raises(SystemExit) as e:
+        ellspmv.main([])
+    assert e.value.code == 1
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_help_and_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        ellspmv.main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "--separate-diagonal" in out and "--sort-rows" in out
+    with pytest.raises(SystemExit):
+        csrspmv.main(["--version"])
+    assert "csrspmv" in capsys.readouterr().out
+
+
+def test_bad_option(mtx_file, capsys):
+    rc = ellspmv.main(["--bogus", mtx_file])
+    assert rc == 1
+    assert "unrecognized option" in capsys.readouterr().err
+
+
+def test_chained_protocol(tmp_path, rng, capsys):
+    coo = random_coo(rng, 32, 32, 128)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    rc, out, err = run_cli(ellspmv.main,
+                           ["-v", "--protocol=chained", "--repeat=3", p],
+                           capsys)
+    assert rc == 0 and "gemv:" in err
