@@ -1,0 +1,109 @@
+"""Pallas ELL kernel tests, run in interpreter mode on the CPU backend.
+
+On real TPU hardware the same kernel compiles via Mosaic; these tests pin
+the kernel's semantics (plan construction, windowed gathers, double-double
+fp64) against the NumPy oracle.
+"""
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.formats.ell import ell_from_coo
+from ellspmv_tpu.models.generators import banded_random, poisson2d
+from ellspmv_tpu.ops import plan as plan_mod
+from ellspmv_tpu.ops.ell_pallas import ell_spmv_pallas, get_plan
+from ellspmv_tpu.ops.reference import ell_spmv_numpy
+from tests.conftest import random_coo
+
+
+def check(coo, dtype, rtol, sep_diag=False, y0=None, row_tile=1024):
+    ell = ell_from_coo(coo, sort_rows=True, separate_diagonal=sep_diag,
+                       value_dtype=dtype)
+    dp = get_plan(ell)
+    assert dp is not None, "plan unexpectedly unsupported"
+    rng = np.random.RandomState(7)
+    x = rng.rand(ell.num_columns).astype(dtype)
+    got = np.asarray(ell_spmv_pallas(ell, x, y0), np.float64)
+    want = ell_spmv_numpy(ell, x.astype(np.float64),
+                          None if y0 is None else np.asarray(y0, np.float64))
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+    return dp.plan
+
+
+def test_poisson_f32():
+    p = check(poisson2d(32), np.float32, 2e-5)
+    assert p.KS <= 9
+
+
+def test_poisson_f64_dd():
+    # double-double accuracy: ~1e-13 on 5-term rows
+    check(poisson2d(24), np.float64, 1e-12)
+
+
+@pytest.mark.parametrize("dtype,rtol", [(np.float32, 5e-5),
+                                        (np.float64, 1e-11)])
+def test_banded(dtype, rtol):
+    check(banded_random(1500, 9, 64, seed=3), dtype, rtol)
+
+
+def test_separate_diagonal_and_y_accumulate():
+    coo = banded_random(900, 7, 50, seed=5)
+    y0 = np.random.RandomState(11).randn(900)
+    check(coo, np.float64, 1e-11, sep_diag=True, y0=y0)
+
+
+def test_rectangular():
+    coo = random_coo(np.random.RandomState(0), 300, 200, 1200)
+    # random columns over only 200 cols: still plan-able (window = whole x)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    dp = get_plan(ell)
+    if dp is None:
+        pytest.skip("window budget exceeded (acceptable for random)")
+    x = np.random.RandomState(1).rand(200)
+    got = np.asarray(ell_spmv_pallas(ell, x), np.float64)
+    want = ell_spmv_numpy(ell, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11 * scale)
+
+
+def test_plan_rejects_wide_random():
+    """A huge unsorted random matrix must exceed the locality budget and
+    fall back (plan None), not produce a wrong kernel."""
+    coo = random_coo(np.random.RandomState(0), 4096, 1 << 20, 8192)
+    ell = ell_from_coo(coo, value_dtype=np.float32)
+    assert plan_mod.build_plan(ell, max_k128=16) is None
+
+
+def test_plan_budgets():
+    ell = ell_from_coo(poisson2d(64), sort_rows=True,
+                       value_dtype=np.float32)
+    p = plan_mod.build_plan(ell)
+    assert p is not None
+    assert p.K128 % 8 == 0
+    assert p.lcol.min() >= 0 and p.lcol.max() < p.KS * 128
+    assert (p.qb >= 0).all() and (p.qb + p.KS <= p.K128).all()
+    # slot-major relayout round-trip: lcol/vals entry (t,s,g,lane)
+    # corresponds to original row t*R + g*128 + lane, slot s
+    S, G = p.rowsize, p.G
+    t, s, g, lane = 0, 1, 0, 5
+    row = t * G * 128 + g * 128 + lane
+    orig = np.asarray(ell.values)[row, s]
+    assert p.vals[(t * S + s) * G + g, lane] == np.float32(orig)
+
+
+def test_zero_value_entries_do_not_widen_window():
+    """Stored zeros (and padding) must not blow up the window span."""
+    coo = banded_random(512, 5, 32, seed=1)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float32)
+    p_ref = plan_mod.build_plan(ell)
+    # add an explicit zero entry at a far-away column
+    import dataclasses
+    coo2 = dataclasses.replace(
+        coo,
+        rowidx=np.concatenate([coo.rowidx, np.array([0], np.int32)]),
+        colidx=np.concatenate([coo.colidx, np.array([511], np.int32)]),
+        values=np.concatenate([coo.values, np.array([0.0])]))
+    ell2 = ell_from_coo(coo2, sort_rows=True, value_dtype=np.float32)
+    p2 = plan_mod.build_plan(ell2)
+    assert p2.K128 == p_ref.K128
