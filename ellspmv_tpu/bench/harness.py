@@ -74,6 +74,18 @@ class SpmvMetrics:
                            + csrsize * sv + diagsize * sv),
                 max_bytes=(n * sv + csrsize * sv + n * si + csrsize * si
                            + csrsize * sv + diagsize * sv + diagsize * sv))
+        from ellspmv_tpu.formats.dia import DiaMatrix
+        if isinstance(matrix, DiaMatrix):
+            # DIA accounting (no reference analogue): stored diagonal values
+            # all participate; no column indices are read at all.
+            sv = np.dtype(matrix.data.dtype).itemsize
+            n, m = matrix.num_rows, matrix.num_columns
+            diasize = matrix.diasize
+            return SpmvMetrics(
+                num_nonzeros=matrix.num_nonzeros,
+                num_flops=2 * diasize,
+                min_bytes=n * sv + m * sv + diasize * sv,
+                max_bytes=n * sv + diasize * sv + diasize * sv)
         raise TypeError(f"unsupported matrix type {type(matrix)}")
 
 

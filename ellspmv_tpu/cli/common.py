@@ -76,6 +76,7 @@ class Options:
         self.backend = "auto"
         self.protocol = "per_iter"
         self.devices = 1
+        self.trace_dir = None
 
 
 def print_help(program: str, csr: bool, f=None):
@@ -115,7 +116,9 @@ def print_help(program: str, csr: bool, f=None):
     f.write("  --index-width=N           32 or 64 (default: auto; IDXTYPEWIDTH analogue)\n")
     f.write("  --backend=B               auto (default), pallas or xla\n")
     f.write("  --protocol=P              per_iter (default) or chained timing\n")
-    f.write("  --devices=N               shard rows across N mesh devices\n\n")
+    f.write("  --devices=N               shard rows across N mesh devices\n")
+    f.write("  --trace=DIR               write a jax.profiler device trace of the\n")
+    f.write("                            benchmark loop to DIR (PAPI-region analogue)\n\n")
     f.write("  -h, --help                display this help and exit\n")
     f.write("  --version                 display version information and exit\n")
 
@@ -224,6 +227,8 @@ def parse_args(argv: list[str], program: str, csr: bool) -> Options:
                 raise CliError("--protocol must be per_iter or chained")
         elif (v := _split_eq(arg, "--devices")) is not False:
             opts.devices = int(need_value(v, "--devices", i))
+        elif (v := _split_eq(arg, "--trace")) is not False:
+            opts.trace_dir = need_value(v, "--trace", i)
         else:
             raise CliError(f"unrecognized option '{arg}'")
         i += 1
@@ -366,10 +371,12 @@ def run(argv: list[str], program: str, fmt: str) -> int:
 
     # Phase 5: benchmark (warmup + timed loop, ellspmv.c:1745-1876)
     kernel_name = _kernel_name(fmt, opts, mat)
+    from ellspmv_tpu.utils.trace import device_trace
     try:
-        res = benchmark_spmv(spmv_fn, mat_for_bench, x, y,
-                             repeat=opts.repeat, warmup=opts.warmup,
-                             protocol=opts.protocol, metrics_matrix=mat)
+        with device_trace(opts.trace_dir):
+            res = benchmark_spmv(spmv_fn, mat_for_bench, x, y,
+                                 repeat=opts.repeat, warmup=opts.warmup,
+                                 protocol=opts.protocol, metrics_matrix=mat)
     except Exception as e:
         sys.stderr.write(f"{program}: benchmark failed: {e}\n")
         return 1

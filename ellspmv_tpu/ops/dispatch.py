@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from ellspmv_tpu.formats.csr import CsrMatrix
+from ellspmv_tpu.formats.dia import DiaMatrix, dia_spmv
 from ellspmv_tpu.formats.ell import EllMatrix
 
 
@@ -14,6 +15,8 @@ def spmv(matrix, x, y=None, backend: str = "auto"):
     TPU when the matrix has a precomputed plan (or one can be built) and
     falls back to XLA.
     """
+    if isinstance(matrix, DiaMatrix):
+        return dia_spmv(matrix, x, y)   # gather-free; XLA streams it
     if isinstance(matrix, EllMatrix):
         if backend in ("auto", "pallas"):
             from ellspmv_tpu.ops import ell_pallas
