@@ -102,8 +102,8 @@ def print_help(program: str, csr: bool, f=None):
     f.write("  -q, --quiet               do not print Matrix Market output\n")
     f.write("  -v, --verbose             be more verbose\n\n")
     f.write(" Options for performance monitoring are:\n")
-    f.write("  --papi-event-file=FILE    accepted for compatibility (no PAPI on TPU;\n")
-    f.write("                            a roofline report replaces it)\n")
+    f.write("  --papi-event-file=FILE    derived-metric definition file (formulas over\n")
+    f.write("                            time/flops/bytes; see examples/tpu_membw.metrics)\n")
     f.write("  --papi-event-format=FMT   output format for metrics: plain or csv. [plain]\n")
     f.write("  --papi-event-per-thread   display metrics per device\n")
     f.write("  --papi-event-summary      display summary of performance monitoring\n\n")
@@ -268,9 +268,7 @@ def run(argv: list[str], program: str, fmt: str) -> int:
     from ellspmv_tpu.io.mtx import read_matrix, read_vector, write_vector
     from ellspmv_tpu.ops import spmv
 
-    if opts.papi_event_file and opts.verbose:
-        log.write(f"{program}: note: PAPI is unavailable on TPU; reporting "
-                  "achieved bandwidth against the HBM roofline instead\n")
+
     if (opts.columns_per_thread or opts.l1_prefetch_distance
             or opts.l2_prefetch_distance) and opts.verbose:
         log.write(f"{program}: note: NUMA/A64FX placement options have no "
@@ -383,7 +381,17 @@ def run(argv: list[str], program: str, fmt: str) -> int:
     if opts.verbose:
         for line in res.iteration_lines():
             log.write(f"{kernel_name}: {line}\n")
-    if opts.papi_event_summary or opts.papi_event_file:
+    if opts.papi_event_file:
+        from ellspmv_tpu.bench import metrics as metrics_mod
+        try:
+            mfile = metrics_mod.read_metrics_file(opts.papi_event_file)
+            metrics_mod.report(
+                mfile, metrics_mod.base_events(res, opts.devices), log,
+                fmt=opts.papi_event_format, region=kernel_name)
+        except (OSError, metrics_mod.MetricsError) as e:
+            sys.stderr.write(f"{program}: {opts.papi_event_file}: {e}\n")
+            return 1
+    if opts.papi_event_summary:
         _metrics_report(res, opts, log)
 
     # Phase 6: write y to stdout (ellspmv.c:1898-1912)
