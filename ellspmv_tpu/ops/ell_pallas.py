@@ -3,16 +3,17 @@ ellspmv.c:1129-1153, redesigned for the TPU memory system).
 
 Per grid step (one tile of R = G*128 rows):
 
-1. DMA the tile's x window (K128 x 128 f32) HBM→VMEM, start offset from the
-   scalar-prefetched `wbase128` (PrefetchScalarGridSpec) — x stays on-chip
-   while the a/colidx streams are pipelined past it by Pallas, the VMEM
-   realization of the reference's A64FX sector-cache isolation of x
-   (ellspmv.c:1737-1743);
-2. for each ELL slot s: gather x values with KS lane-local
-   `take_along_axis` steps from the slot's sub-window row (`qb[t,s]`),
-   select by the high bits of the local column, FMA into the (G, 128)
-   accumulator — the VPU equivalent of the reference's
-   `yi += a[i*rowsize+l] * x[colidx[...]]` inner loop (ellspmv.c:1148);
+1. the tile's x window (K128 x 128 f32) is DMA'd HBM→VMEM, double-buffered:
+   tile i+1's window transfer is issued before tile i's compute so the DMA
+   hides behind the gather/FMA work (window starts come from the
+   scalar-prefetched `wbase128`). x living in VMEM while a/colidx stream
+   past is the TPU realization of the reference's A64FX sector-cache
+   isolation of x (ellspmv.c:1737-1743);
+2. for each ELL slot s: gather x values with KS lane-local dynamic-gather
+   steps from the slot's sub-window row (`qb[t,s]`), select by the high
+   bits of the local column, FMA into the (G, 128) accumulator — the VPU
+   equivalent of the reference's `yi += a[i*rowsize+l] * x[colidx[...]]`
+   inner loop (ellspmv.c:1148);
 3. write the accumulator as the y tile (row-major (n/128, 128) layout).
 
 fp64 runs as double-double (hi/lo f32 pairs): TPU has no native f64 — XLA
@@ -24,6 +25,7 @@ matching XLA-on-TPU f64 fidelity (~1e-14 worst-case relative error).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ellspmv_tpu.ops import plan as plan_mod
 
 _PLAN_ATTR = "_pallas_plan_cache"
+
+
+def _i0():
+    """int32 zero for BlockSpec index maps: with jax_enable_x64, a bare
+    Python 0 traces as i64 and Mosaic fails to legalize the index-map
+    function's return."""
+    return jnp.int32(0)
 
 
 def _lane_gather(op, lane):
@@ -88,8 +97,10 @@ def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l):
     return _dd_add(acc_h, acc_l, ph, pl_)
 
 
-def _make_kernel(S: int, G: int, KS: int, K128: int, dd: bool):
-    """Build the kernel body for rowsize S, G row-groups, KS gather steps."""
+def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
+    """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
+    slot selection indexes a leading (untiled) dim; the x window is
+    double-buffered through a (2, K128, W) scratch."""
 
     def kernel(wb_ref, qb_ref, lcol_ref, *rest):
         if dd:
@@ -97,18 +108,34 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, dd: bool):
         else:
             v_ref, x_ref, y_ref, xw, sem = rest
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_ref.at[pl.ds(wb_ref[i], K128)], xw, sem)
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        sbase = slot * jnp.int32(K128)
+
+        def dma(buf, tile):
+            # xw is (2*K128, W): buffer b occupies rows [b*K128, (b+1)*K128)
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(wb_ref[tile], K128)],
+                xw.at[pl.ds(buf * jnp.int32(K128), K128)],
+                sem.at[buf])
+
+        @pl.when(i == 0)
+        def _():
+            dma(slot, i).start()
+
+        @pl.when(i + 1 < T)
+        def _():
+            dma(nxt, i + jnp.int32(1)).start()
+
+        dma(slot, i).wait()
 
         acc = jnp.zeros((G, 128), jnp.float32)
         acc_l = jnp.zeros((G, 128), jnp.float32) if dd else None
         for s in range(S):
-            idx = lcol_ref[s * G:(s + 1) * G, :]
+            idx = lcol_ref[0, s]
             q = jax.lax.shift_right_logical(idx, jnp.int32(7))
             lane = jax.lax.bitwise_and(idx, jnp.int32(127))
-            qb = qb_ref[i, s]
+            qb = qb_ref[0, 0, s]
             if dd:
                 xg_h = jnp.zeros((G, 128), jnp.float32)
                 xg_l = jnp.zeros((G, 128), jnp.float32)
@@ -116,59 +143,71 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, dd: bool):
                 xg = jnp.zeros((G, 128), jnp.float32)
             for k in range(KS):
                 if dd:
-                    row = xw[pl.ds(qb + k, 1), :]        # (1, 256) h|l
+                    row = xw[pl.ds(sbase + qb + k, 1), :]     # (1, 256) h|l
                     rh = jnp.broadcast_to(row[:, :128], (G, 128))
                     rl = jnp.broadcast_to(row[:, 128:], (G, 128))
                     hit = q == k
-                    xg_h = jnp.where(
-                        hit, _lane_gather(rh, lane), xg_h)
-                    xg_l = jnp.where(
-                        hit, _lane_gather(rl, lane), xg_l)
+                    xg_h = jnp.where(hit, _lane_gather(rh, lane), xg_h)
+                    xg_l = jnp.where(hit, _lane_gather(rl, lane), xg_l)
                 else:
                     row = jnp.broadcast_to(
-                        xw[pl.ds(qb + k, 1), :], (G, 128))
-                    xg = jnp.where(
-                        q == k, _lane_gather(row, lane), xg)
+                        xw[pl.ds(sbase + qb + k, 1), :], (G, 128))
+                    xg = jnp.where(q == k, _lane_gather(row, lane), xg)
             if dd:
-                vh = vh_ref[s * G:(s + 1) * G, :]
-                vl = vl_ref[s * G:(s + 1) * G, :]
-                acc, acc_l = _dd_fma(acc, acc_l, vh, vl, xg_h, xg_l)
+                acc, acc_l = _dd_fma(acc, acc_l, vh_ref[0, s], vl_ref[0, s],
+                                     xg_h, xg_l)
             else:
-                acc = acc + v_ref[s * G:(s + 1) * G, :] * xg
+                acc = acc + v_ref[0, s] * xg
         if dd:
-            yh_ref[:, :] = acc
-            yl_ref[:, :] = acc_l
+            yh_ref[0, :, :] = acc
+            yl_ref[0, :, :] = acc_l
         else:
-            y_ref[:, :] = acc
+            y_ref[0, :, :] = acc
 
     return kernel
+
+
+def _tile_specs(S, G, n_tensor_inputs, n_outputs):
+    """Specs shared by both kernels: SMEM qb block, 4D per-tile operand
+    blocks, ANY-space x. (wbase128 is a scalar-prefetch arg, not listed.)"""
+    def im3(i, *_):
+        return (i, _i0(), _i0())
+
+    def im4(i, *_):
+        return (i, _i0(), _i0(), _i0())
+
+    in_specs = [
+        pl.BlockSpec((1, 1, S), im3, memory_space=pltpu.SMEM),
+    ] + [
+        pl.BlockSpec((1, S, G, 128), im4, memory_space=pltpu.VMEM)
+        for _ in range(n_tensor_inputs)
+    ] + [
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    outs = [pl.BlockSpec((1, G, 128), im3, memory_space=pltpu.VMEM)
+            for _ in range(n_outputs)]
+    return in_specs, (outs if n_outputs > 1 else outs[0])
 
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "interpret"))
 def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
              interpret=False):
+    in_specs, out_specs = _tile_specs(S, G, 2, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((S * G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((G, 128), lambda i, wb, qb_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((K128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * K128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, dd=False),
+        _make_kernel(S, G, KS, K128, T, dd=False),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T * G, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
     )(wbase128, qb, lcol, vals, x2d)
 
@@ -177,34 +216,22 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
                    static_argnames=("S", "G", "KS", "K128", "T", "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d, S, G, KS, K128, T,
             interpret=False):
+    in_specs, out_specs = _tile_specs(S, G, 3, 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((S * G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 128), lambda i, wb, qb_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((K128, 256), jnp.float32),   # hi | lo halves
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * K128, 256), jnp.float32),  # hi | lo halves
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, dd=True),
+        _make_kernel(S, G, KS, K128, T, dd=True),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T * G, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((T * G, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
         interpret=interpret,
     )(wbase128, qb, lcol, vals_h, vals_l, x2d)
 
@@ -215,20 +242,21 @@ class DevicePlan:
     def __init__(self, ell, plan: plan_mod.EllPlan, dd: bool):
         self.plan = plan
         self.dd = dd
-        import os
         self.interpret = (jax.devices()[0].platform != "tpu"
                           or bool(os.environ.get(
                               "ELLSPMV_TPU_PALLAS_INTERPRET")))
-        self.wbase128 = jnp.asarray(plan.wbase128)
-        self.qb = jnp.asarray(plan.qb)
-        self.lcol = jnp.asarray(plan.lcol)
+        T, S, G = plan.num_tiles, plan.rowsize, plan.G
+        self.wbase128 = jnp.asarray(plan.wbase128)              # (T,)
+        self.qb = jnp.asarray(plan.qb)[:, None, :]              # (T,1,S)
+        self.lcol = jnp.asarray(plan.lcol.reshape(T, S, G, 128))
         if dd:
             vh = plan.vals.astype(np.float32)
             vl = (plan.vals - vh.astype(np.float64)).astype(np.float32)
-            self.vals_h = jnp.asarray(vh)
-            self.vals_l = jnp.asarray(vl)
+            self.vals_h = jnp.asarray(vh.reshape(T, S, G, 128))
+            self.vals_l = jnp.asarray(vl.reshape(T, S, G, 128))
         else:
-            self.vals = jnp.asarray(plan.vals.astype(np.float32))
+            self.vals = jnp.asarray(
+                plan.vals.astype(np.float32).reshape(T, S, G, 128))
 
     def __call__(self, x):
         p = self.plan
@@ -243,18 +271,18 @@ class DevicePlan:
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
-                                              "nx128", "interpret"))
+                                             "nx128", "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
                interpret=False):
     x = x.astype(jnp.float32)
     x2d = jnp.pad(x, (0, nx128 * 128 - x.shape[0])).reshape(nx128, 128)
-    y2d = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
-                   interpret)
-    return y2d.reshape(-1)
+    y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
+                 interpret)
+    return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
-                                              "nx128", "interpret"))
+                                             "nx128", "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
               nx128, interpret=False):
     xp = jnp.pad(x, (0, nx128 * 128 - x.shape[0]))
@@ -275,7 +303,7 @@ def get_plan(ell, **kw):
         return cached if cached != "unsupported" else None
     val_dt = np.dtype(np.asarray(ell.values).dtype)
     dd = val_dt == np.float64
-    plan = plan_mod.build_plan(
+    plan = plan_mod.best_plan(
         ell, value_dtype=np.float64 if dd else np.float32, **kw)
     if plan is None:
         object.__setattr__(ell, _PLAN_ATTR, "unsupported")
@@ -306,7 +334,6 @@ def ell_spmv_pallas(ell, x, y=None):
     out = core.astype(val_dt)
     if ell.diag is not None:
         n = ell.num_rows
-        k = min(n, ell.num_columns)
         d = jnp.asarray(ell.diag)[:n]
         xi = jnp.minimum(jnp.arange(n), max(ell.num_columns - 1, 0))
         out = out + d * x.astype(val_dt)[xi]

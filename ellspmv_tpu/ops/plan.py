@@ -30,9 +30,53 @@ import numpy as np
 # Budgets. KS is the number of gather+select steps per slot; K128 the x
 # window height in 128-element rows (VMEM scratch = K128*512 bytes per
 # buffer for f32).
-DEFAULT_MAX_KS = 24
+DEFAULT_MAX_KS = 64
 DEFAULT_MAX_K128 = 2048      # 1 MiB f32 window
 DEFAULT_ROW_TILE = 1024
+
+# Cost-model constants for plan selection (v5e-class): HBM bytes per core
+# cycle, and VPU (8,128)-op issue per cycle.
+_HBM_BYTES_PER_CYCLE = 870.0
+_VPU_SUBLANE_ROWS_PER_CYCLE = 8.0
+
+
+def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
+    """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
+    gather/select/FMA time. Used only to rank candidate plans."""
+    S, G, T = plan.rowsize, plan.G, plan.num_tiles
+    nnz_slots = T * S * G * 128
+    idx_bytes = 4
+    hbm = (nnz_slots * (value_bytes + idx_bytes)
+           + T * plan.K128 * 128 * value_bytes       # x window per tile
+           + T * G * 128 * value_bytes)              # y
+    gather_ops = (5 if dd else 3) * plan.KS + (20 if dd else 2)
+    vpu = T * S * G * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
+    # Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
+    # bookkeeping + DMA issue) — punishes very small tiles.
+    overhead = T * 250.0
+    return max(hbm / _HBM_BYTES_PER_CYCLE, vpu) + overhead
+
+
+def best_plan(ell, row_tiles=(1024, 512, 256, 128),
+              max_ks: int = DEFAULT_MAX_KS,
+              max_k128: int = DEFAULT_MAX_K128,
+              value_dtype=np.float32) -> "EllPlan | None":
+    """Build plans at several row-tile sizes and keep the cheapest by the
+    cost model (smaller tiles narrow the per-slot windows — fewer gather
+    steps — but re-DMA x more often)."""
+    dd = np.dtype(value_dtype) == np.float64
+    vb = 8 if dd else 4
+    best = None
+    best_cost = float("inf")
+    for rt in row_tiles:
+        p = build_plan(ell, row_tile=rt, max_ks=max_ks, max_k128=max_k128,
+                       value_dtype=value_dtype)
+        if p is None:
+            continue
+        c = estimate_cycles(p, vb, dd)
+        if c < best_cost:
+            best, best_cost = p, c
+    return best
 
 
 @dataclasses.dataclass
@@ -49,7 +93,7 @@ class EllPlan:
     nx128: int             # padded x length in 128-blocks
     wbase128: np.ndarray   # (num_tiles,) int32: x window start / 128
     qb: np.ndarray         # (num_tiles, rowsize) int32: slot sub-window base
-    lcol: np.ndarray       # (num_tiles*rowsize*G, 128) int32 local columns
+    lcol: np.ndarray       # (num_tiles, rowsize*G, 128) int32 local columns
     vals: np.ndarray       # same shape, kernel dtype (f32 or f32x2 for dd)
 
     @property
@@ -82,8 +126,8 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
 
     cols = np.zeros((n_pad, S), np.int64)
     vals = np.zeros((n_pad, S), np.float64)
-    cols[:n_pad_in] = np.asarray(ell.colidx)
-    vals[:n_pad_in] = np.asarray(ell.values)
+    cols[:n_pad_in, :ell.rowsize] = np.asarray(ell.colidx)
+    vals[:n_pad_in, :ell.rowsize] = np.asarray(ell.values)
 
     real = vals != 0.0
     # Padding/zero entries contribute 0 regardless of the gathered x value,
@@ -129,11 +173,11 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
         # Shouldn't happen; fall back rather than gather out of window.
         return None
 
-    # Slot-major relayout: (T, R, S) -> (T, S, G, 128) -> (T*S*G, 128)
+    # Slot-major relayout: (T, R, S) -> (T, S*G, 128) per-tile blocks
     def relayout(a, dt):
         return np.ascontiguousarray(
             a.reshape(num_tiles, G, 128, S).transpose(0, 3, 1, 2)
-        ).reshape(num_tiles * S * G, 128).astype(dt)
+        ).reshape(num_tiles, S * G, 128).astype(dt)
 
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,

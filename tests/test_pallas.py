@@ -83,13 +83,13 @@ def test_plan_budgets():
     assert p.K128 % 8 == 0
     assert p.lcol.min() >= 0 and p.lcol.max() < p.KS * 128
     assert (p.qb >= 0).all() and (p.qb + p.KS <= p.K128).all()
-    # slot-major relayout round-trip: lcol/vals entry (t,s,g,lane)
+    # slot-major relayout round-trip: lcol/vals entry (t, s*G+g, lane)
     # corresponds to original row t*R + g*128 + lane, slot s
     S, G = p.rowsize, p.G
     t, s, g, lane = 0, 1, 0, 5
     row = t * G * 128 + g * 128 + lane
     orig = np.asarray(ell.values)[row, s]
-    assert p.vals[(t * S + s) * G + g, lane] == np.float32(orig)
+    assert p.vals[t, s * G + g, lane] == np.float32(orig)
 
 
 def test_zero_value_entries_do_not_widen_window():

@@ -1,0 +1,71 @@
+"""Sliced-ELL + CSR-tail hybrid tests (BASELINE configs[3])."""
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.formats.ell import ell_from_coo
+from ellspmv_tpu.formats.sell import sell_from_coo, sell_spmv
+from ellspmv_tpu.models.generators import dense_rows, power_law
+from ellspmv_tpu.ops.reference import coo_spmv_numpy
+from tests.conftest import assert_fp64_close, random_coo
+
+
+def test_power_law_correct(rng):
+    coo = power_law(3000, 8, seed=1)
+    sm = sell_from_coo(coo, slice_rows=256, tail_cap=16)
+    x = rng.randn(3000)
+    y0 = rng.randn(3000)
+    got = np.asarray(sell_spmv(sm, x, y0))
+    assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
+
+
+def test_padding_win_vs_ell(rng):
+    """The hybrid must store far fewer slots than monolithic ELL when a few
+    rows are very long (the reference's ELL pathological case)."""
+    coo = dense_rows(4096, 4, num_dense=3, dense_nnz=2000, seed=2)
+    ell = ell_from_coo(coo)
+    sm = sell_from_coo(coo, slice_rows=256, tail_cap=32)
+    assert sm.sellsize + sm.tailsize < ell.ellsize / 5
+    x = np.random.RandomState(0).randn(4096)
+    assert_fp64_close(np.asarray(sell_spmv(sm, x)), coo_spmv_numpy(coo, x))
+
+
+def test_tail_split(rng):
+    coo = dense_rows(1024, 3, num_dense=2, dense_nnz=500, seed=3)
+    sm = sell_from_coo(coo, slice_rows=128, tail_cap=8)
+    assert sm.tail is not None
+    assert sm.tailsize > 0
+    # every bucket's rowsize stays within the cap
+    assert all(b.rowsize <= 8 for b in sm.buckets)
+
+
+def test_no_tail_when_uniform(rng):
+    coo = random_coo(rng, 512, 512, 2000)
+    sm = sell_from_coo(coo, slice_rows=128, tail_cap=64)
+    assert sm.tail is None
+    x = rng.randn(512)
+    assert_fp64_close(np.asarray(sell_spmv(sm, x)), coo_spmv_numpy(coo, x))
+
+
+def test_symmetric_and_rect(rng):
+    coo = random_coo(rng, 200, 200, 900, symmetric=True, with_dups=True)
+    sm = sell_from_coo(coo, slice_rows=128)
+    x = rng.randn(200)
+    assert_fp64_close(np.asarray(sell_spmv(sm, x)), coo_spmv_numpy(coo, x))
+    coo2 = random_coo(rng, 300, 150, 700)
+    sm2 = sell_from_coo(coo2, slice_rows=128)
+    x2 = rng.randn(150)
+    assert_fp64_close(np.asarray(sell_spmv(sm2, x2)), coo_spmv_numpy(coo2, x2))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_dtypes(rng, dtype):
+    coo = power_law(1000, 6, seed=5)
+    sm = sell_from_coo(coo, slice_rows=128, value_dtype=dtype)
+    x = rng.randn(1000).astype(dtype)
+    got = np.asarray(sell_spmv(sm, x), np.float64)
+    want = coo_spmv_numpy(coo, np.asarray(x, np.float64))
+    if dtype == "float64":
+        assert_fp64_close(got, want)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
