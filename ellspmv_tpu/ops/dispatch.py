@@ -6,6 +6,7 @@ from __future__ import annotations
 from ellspmv_tpu.formats.csr import CsrMatrix
 from ellspmv_tpu.formats.dia import DiaMatrix, dia_spmv
 from ellspmv_tpu.formats.ell import EllMatrix
+from ellspmv_tpu.formats.sell import SellMatrix, sell_spmv
 
 
 def spmv(matrix, x, y=None, backend: str = "auto"):
@@ -17,6 +18,8 @@ def spmv(matrix, x, y=None, backend: str = "auto"):
     """
     if isinstance(matrix, DiaMatrix):
         return dia_spmv(matrix, x, y)   # gather-free; XLA streams it
+    if isinstance(matrix, SellMatrix):
+        return sell_spmv(matrix, x, y, backend=backend)
     if isinstance(matrix, EllMatrix):
         if backend in ("auto", "pallas"):
             from ellspmv_tpu.ops import ell_pallas

@@ -69,3 +69,15 @@ def test_dtypes(rng, dtype):
         assert_fp64_close(got, want)
     else:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_csr_pallas_path(rng):
+    """CSR routed through the sliced-ELL repack (interpret mode on CPU)."""
+    from ellspmv_tpu.formats.csr import csr_from_coo
+    from ellspmv_tpu.ops.csr_pallas import csr_spmv_pallas
+    coo = random_coo(rng, 600, 600, 3000, with_dups=True)
+    csr = csr_from_coo(coo, separate_diagonal=True)
+    x = rng.randn(600)
+    y0 = rng.randn(600)
+    got = np.asarray(csr_spmv_pallas(csr, x, y0))
+    assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
