@@ -1,0 +1,91 @@
+"""Bench harness tests: metric formula parity with the reference, timing
+protocols, roofline accounting."""
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.bench.harness import BenchResult, SpmvMetrics, benchmark_spmv
+from ellspmv_tpu.formats.csr import csr_from_coo
+from ellspmv_tpu.formats.dia import dia_from_coo
+from ellspmv_tpu.formats.ell import ell_from_coo
+from ellspmv_tpu.formats.sell import sell_from_coo
+from ellspmv_tpu.models.generators import poisson2d
+from ellspmv_tpu.ops import spmv
+from tests.conftest import assert_fp64_close, random_coo
+
+
+def test_ell_metric_formulas(small_coo):
+    """Exact reproduction of ellspmv.c:1857-1862 for the bundled matrix:
+    4x5, 9 nnz, rowsize 5, fp64 + int32."""
+    ell = ell_from_coo(small_coo)
+    m = SpmvMetrics.for_matrix(ell)
+    ellsize, diagsize = 4 * 5, 4
+    assert m.num_nonzeros == 9
+    assert m.num_flops == 2 * (ellsize + diagsize)
+    assert m.min_bytes == 4 * 8 + 5 * 8 + ellsize * 4 + ellsize * 8 \
+        + diagsize * 8
+    assert m.max_bytes == 4 * 8 + ellsize * 8 + ellsize * 4 + ellsize * 8 \
+        + diagsize * 8 + diagsize * 8
+
+
+def test_csr_metric_formulas(small_coo):
+    """csrspmv.c:2882-2887: rowptr bytes counted, diagsize=0 for
+    non-square without split."""
+    csr = csr_from_coo(small_coo)
+    m = SpmvMetrics.for_matrix(csr)
+    csrsize = 9
+    assert m.num_flops == 2 * csrsize
+    assert m.min_bytes == 4 * 8 + 5 * 8 + (4 + 1) * 4 + csrsize * 4 \
+        + csrsize * 8
+    assert m.max_bytes == 4 * 8 + csrsize * 8 + 4 * 4 + csrsize * 4 \
+        + csrsize * 8
+
+
+def test_metrics_cover_all_formats(rng):
+    coo = random_coo(rng, 64, 64, 256)
+    for mat in [ell_from_coo(coo), csr_from_coo(coo),
+                sell_from_coo(coo, slice_rows=128),
+                dia_from_coo(coo, max_diags=1000)]:
+        m = SpmvMetrics.for_matrix(mat)
+        assert m.num_flops > 0 and m.min_bytes <= m.max_bytes
+
+
+def test_per_iter_protocol(rng):
+    coo = random_coo(rng, 64, 64, 256)
+    ell = ell_from_coo(coo)
+    x = rng.randn(64)
+    res = benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv), ell, x,
+                         repeat=3, warmup=2)
+    assert len(res.times) == 3
+    # y accumulated over warmup + timed iterations
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    assert_fp64_close(np.asarray(res.y), 5 * coo_spmv_numpy(coo, x))
+    lines = res.iteration_lines()
+    assert len(lines) == 3 and "Gnz/s" in lines[0]
+
+
+def test_chained_protocol(rng):
+    coo = poisson2d(16)
+    ell = ell_from_coo(coo)
+    x = np.ones(256)
+    res = benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv), ell, x,
+                         repeat=4, warmup=2, protocol="chained")
+    assert res.best > 0
+    assert res.roofline_fraction() >= 0
+
+
+def test_chained_requires_square(rng):
+    coo = random_coo(rng, 30, 40, 100)
+    ell = ell_from_coo(coo)
+    with pytest.raises(ValueError):
+        benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv), ell,
+                       np.ones(40), protocol="chained")
+
+
+def test_roofline_fraction_math():
+    m = SpmvMetrics(num_nonzeros=10, num_flops=20, min_bytes=1000,
+                    max_bytes=2000)
+    r = BenchResult(times=[1e-6], metrics=m, y=None, protocol="per_iter",
+                    hbm_peak=1e9)
+    assert r.min_gb_per_s() == pytest.approx(1.0)
+    assert r.roofline_fraction() == pytest.approx(1.0)
