@@ -77,6 +77,7 @@ class Options:
         self.protocol = "per_iter"
         self.devices = 1
         self.trace_dir = None
+        self.reorder = "none"
 
 
 def print_help(program: str, csr: bool, f=None):
@@ -118,7 +119,9 @@ def print_help(program: str, csr: bool, f=None):
     f.write("  --protocol=P              per_iter (default) or chained timing\n")
     f.write("  --devices=N               shard rows across N mesh devices\n")
     f.write("  --trace=DIR               write a jax.profiler device trace of the\n")
-    f.write("                            benchmark loop to DIR (PAPI-region analogue)\n\n")
+    f.write("                            benchmark loop to DIR (PAPI-region analogue)\n")
+    f.write("  --reorder=R               none (default) or rcm: bandwidth-reducing\n")
+    f.write("                            reorder applied internally (output y unchanged)\n\n")
     f.write("  -h, --help                display this help and exit\n")
     f.write("  --version                 display version information and exit\n")
 
@@ -229,6 +232,10 @@ def parse_args(argv: list[str], program: str, csr: bool) -> Options:
             opts.devices = int(need_value(v, "--devices", i))
         elif (v := _split_eq(arg, "--trace")) is not False:
             opts.trace_dir = need_value(v, "--trace", i)
+        elif (v := _split_eq(arg, "--reorder")) is not False:
+            opts.reorder = need_value(v, "--reorder", i)
+            if opts.reorder not in ("none", "rcm"):
+                raise CliError("--reorder must be none or rcm")
         else:
             raise CliError(f"unrecognized option '{arg}'")
         i += 1
@@ -294,6 +301,22 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         log.write(f"mtxfile_read: {t_read:.6f} seconds ({mb / t_read:.1f} "
                   f"MB/s)\n")
 
+    # Optional internal reordering (output-equivalent: x/y are permuted at
+    # the edges). Square matrices only.
+    reorder_map = None
+    if opts.reorder == "rcm":
+        if coo.num_rows != coo.num_columns:
+            sys.stderr.write(f"{program}: --reorder=rcm needs a square "
+                             "matrix\n")
+            return 1
+        from ellspmv_tpu.models.reorder import reorder_rcm
+        t0 = time.perf_counter()
+        reorder_map = reorder_rcm(coo)
+        coo = reorder_map.coo
+        if opts.verbose:
+            log.write(f"reorder_rcm: {time.perf_counter() - t0:.6f} "
+                      "seconds\n")
+
     # Phase 3: convert (timed, like ellspmv.c:1379-1486)
     t0 = time.perf_counter()
     if csr:
@@ -343,6 +366,10 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         sys.stderr.write(f"{program}: {e}\n")
         return 1
     x = x.astype(opts.precision)
+    if reorder_map is not None:
+        x = reorder_map.permute_x(x)
+        if y is not None:
+            y = reorder_map.permute_x(y)   # same row permutation
 
     mat = mat.device_put()
 
@@ -397,7 +424,10 @@ def run(argv: list[str], program: str, fmt: str) -> int:
     # Phase 6: write y to stdout (ellspmv.c:1898-1912)
     if not opts.quiet:
         t0 = time.perf_counter()
-        write_vector(sys.stdout, np.asarray(res.y, dtype=np.float64))
+        y_out = np.asarray(res.y, dtype=np.float64)
+        if reorder_map is not None:
+            y_out = reorder_map.unpermute_y(y_out)
+        write_vector(sys.stdout, y_out)
         if opts.verbose:
             log.write(f"mtxfile_write: {time.perf_counter() - t0:.6f} "
                       "seconds\n")

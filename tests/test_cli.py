@@ -203,3 +203,23 @@ def test_chained_protocol(tmp_path, rng, capsys):
                            ["-v", "--protocol=chained", "--repeat=3", p],
                            capsys)
     assert rc == 0 and "gemv:" in err
+
+
+def test_reorder_rcm_output_equivalent(tmp_path, rng, capsys):
+    """--reorder=rcm must not change the printed y (permutation is
+    internal: x and y are translated at the edges)."""
+    coo = random_coo(rng, 60, 60, 300)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, out_plain, _ = run_cli(ellspmv.main, [p], capsys)
+    _, out_rcm, _ = run_cli(ellspmv.main, ["--reorder=rcm", p], capsys)
+    ya = read_vector(io.BytesIO(out_plain.encode()))
+    yb = read_vector(io.BytesIO(out_rcm.encode()))
+    from tests.conftest import assert_fp64_close
+    assert_fp64_close(yb, ya)
+
+
+def test_reorder_rejects_rectangular(mtx_file, capsys):
+    rc = ellspmv.main(["--reorder=rcm", mtx_file])
+    assert rc == 1
+    assert "square" in capsys.readouterr().err
