@@ -135,6 +135,7 @@ class ShardedMatrix:
         return lines
 
     _entries_per_device: np.ndarray | None = None
+    _host_ell: "EllMatrix | None" = None
 
 
 def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
@@ -147,7 +148,8 @@ def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
     bounds = _partition_boundaries(mat, n_dev, partition, rows_per_device)
     rows_per = np.diff(bounds)
     if isinstance(mat, EllMatrix):
-        tile = 8
+        # 128-aligned so Pallas row tiles can divide the device block
+        tile = 128
         block = max(_round_up(int(rows_per.max()), tile), tile)
         r = mat.rowsize
         idx_dt = np.asarray(mat.colidx).dtype
@@ -185,6 +187,11 @@ def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
                            logical_cols=m,
                            x_block=_round_up(max(m, 1), n_dev) // n_dev,
                            unpermute=jnp.asarray(unperm))
+        # host copy of the physical layout, for the sharded Pallas plan
+        sm._host_ell = EllMatrix(
+            colidx=colidx, values=values, diag=None,
+            num_rows=block * n_dev, num_columns=m,
+            num_nonzeros=mat.num_nonzeros)
         return sm
     if isinstance(mat, CsrMatrix):
         rowptr = np.asarray(mat.rowptr, dtype=np.int64)
@@ -239,7 +246,20 @@ def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
 
 def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
     """Build `fn(sm, x_logical, y_logical|None) -> y_logical` running the
-    local kernel per device under shard_map with an allgather of x."""
+    local kernel per device under shard_map with an allgather of x.
+
+    With backend auto/pallas on TPU (or in interpret-mode tests), ELL
+    matrices use the sharded Pallas kernel when a plan exists."""
+    if isinstance(sm.base, EllMatrix) and backend in ("auto", "pallas"):
+        import os
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu or os.environ.get("ELLSPMV_TPU_SHARDED_PALLAS"):
+            fn = sharded_pallas_spmv_fn(sm)
+            if fn is not None:
+                return fn
+        if backend == "pallas":
+            raise ValueError("pallas backend unsupported for this "
+                             "matrix/platform")
     shard_map = jax.shard_map
 
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
@@ -309,5 +329,125 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
             y_phys = sm.to_physical_y(jnp.asarray(y, val_dt))
         out_phys = fn_physical(x_phys, y_phys)
         return sm.from_physical_y(out_phys)
+
+    return fn
+
+
+def sharded_pallas_spmv_fn(sm: ShardedMatrix):
+    """Row-sharded SpMV whose per-device compute is the Pallas windowed
+    ELL kernel: the kernel plan is built once over the physical (padded
+    block) layout — device blocks are whole numbers of kernel row tiles —
+    and its operand arrays are row-tile-sharded over the mesh. Inside
+    shard_map each device allgathers x over ICI and runs its tile range.
+
+    Returns None when the matrix has no plan (caller uses the XLA local
+    kernel instead).
+    """
+    import jax.numpy as jnp
+
+    from ellspmv_tpu.ops import ell_pallas
+    from ellspmv_tpu.ops import plan as plan_mod
+
+    if sm._host_ell is None:
+        return None
+    base = sm.base
+    val_dt = np.dtype(np.asarray(base.values).dtype)
+    if val_dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    dd = val_dt == np.dtype(np.float64)
+    n_dev = sm.mesh.devices.size
+    tiles = [t for t in (1024, 512, 256, 128) if sm.block % t == 0]
+    if not tiles:
+        return None
+    plan = plan_mod.best_plan(
+        sm._host_ell, row_tiles=tiles,
+        value_dtype=np.float64 if dd else np.float32)
+    if plan is None:
+        return None
+    assert plan.num_tiles % n_dev == 0
+    T_local = plan.num_tiles // n_dev
+    S, G, KS, K128, nx128 = (plan.rowsize, plan.G, plan.KS, plan.K128,
+                             plan.nx128)
+    mesh, axis = sm.mesh, sm.mesh.axis_names[0]
+    m = sm.logical_cols
+    interpret = jax.devices()[0].platform != "tpu"
+
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    wb = jax.device_put(jnp.asarray(plan.wbase128), sh(axis))
+    qb = jax.device_put(jnp.asarray(plan.qb)[:, None, :],
+                        sh(axis, None, None))
+    T = plan.num_tiles
+    lcol = jax.device_put(jnp.asarray(plan.lcol.reshape(T, S, G, 128)),
+                          sh(axis, None, None, None))
+    if dd:
+        vh = plan.vals.astype(np.float32)
+        vl = (plan.vals - vh.astype(np.float64)).astype(np.float32)
+        vals_dev = (
+            jax.device_put(jnp.asarray(vh.reshape(T, S, G, 128)),
+                           sh(axis, None, None, None)),
+            jax.device_put(jnp.asarray(vl.reshape(T, S, G, 128)),
+                           sh(axis, None, None, None)))
+    else:
+        vals_dev = (
+            jax.device_put(
+                jnp.asarray(plan.vals.astype(np.float32).reshape(
+                    T, S, G, 128)), sh(axis, None, None, None)),)
+
+    row_start = jnp.asarray(sm.boundaries[:-1], jnp.int32)
+    has_diag = base.diag is not None
+
+    def local(wb_blk, qb_blk, lcol_blk, *rest):
+        if dd:
+            vh_blk, vl_blk, start, *rest2 = rest
+        else:
+            v_blk, start, *rest2 = rest
+        *maybe_diag, x_blk, y_blk = rest2
+        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)[:m]
+        xp = jnp.pad(x_full, (0, nx128 * 128 - m))
+        if dd:
+            xh = xp.astype(jnp.float32)
+            xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
+            x2d = jnp.concatenate([xh.reshape(nx128, 128),
+                                   xl.reshape(nx128, 128)], axis=1)
+            yh, yl = ell_pallas._run_dd(
+                wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk, x2d,
+                S, G, KS, K128, T_local, interpret)
+            acc = (yh.reshape(-1).astype(jnp.float64)
+                   + yl.reshape(-1).astype(jnp.float64))[:sm.block]
+        else:
+            x2d = xp.astype(jnp.float32).reshape(nx128, 128)
+            acc = ell_pallas._run_f32(
+                wb_blk, qb_blk, lcol_blk, v_blk, x2d,
+                S, G, KS, K128, T_local, interpret
+            ).reshape(-1)[:sm.block].astype(y_blk.dtype)
+        if maybe_diag:
+            gi = start[0] + jnp.arange(sm.block, dtype=jnp.int32)
+            xi = jnp.minimum(gi, max(m - 1, 0))
+            acc = acc + maybe_diag[0] * x_full[xi]
+        return acc + y_blk
+
+    in_specs = ((P(axis), P(axis, None, None), P(axis, None, None, None))
+                + (P(axis, None, None, None),) * len(vals_dev)
+                + (P(axis),)
+                + ((P(axis),) if has_diag else ())
+                + (P(axis), P(axis)))
+    mapped = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(axis), check_vma=False)
+    args = (wb, qb, lcol) + vals_dev + (row_start,) + \
+        ((base.diag,) if has_diag else ())
+
+    @jax.jit
+    def fn_physical(x_phys, y_phys):
+        return mapped(*args, x_phys, y_phys)
+
+    def fn(_sm, x, y=None):
+        x_phys = sm.to_physical_x(jnp.asarray(x, val_dt))
+        if y is None:
+            y_phys = jnp.zeros(sm.block * n_dev, val_dt)
+        elif getattr(y, "shape", (0,))[0] == sm.block * n_dev:
+            y_phys = y
+        else:
+            y_phys = sm.to_physical_y(jnp.asarray(y, val_dt))
+        return sm.from_physical_y(fn_physical(x_phys, y_phys))
 
     return fn

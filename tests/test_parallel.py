@@ -90,3 +90,20 @@ def test_accumulate_chain(rng):
     y1 = fn(sm, x)
     y2 = np.asarray(fn(sm, x, y1))
     assert_fp64_close(y2, 2 * coo_spmv_numpy(coo, x))
+
+
+def test_sharded_pallas_interpret(rng, monkeypatch):
+    """Sharded Pallas kernel under shard_map, interpret mode on the CPU
+    mesh: must match the XLA sharded path and the oracle."""
+    monkeypatch.setenv("ELLSPMV_TPU_SHARDED_PALLAS", "1")
+    from ellspmv_tpu.models.generators import banded_random
+    coo = banded_random(1024, 6, 64, seed=9)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    sm = shard_matrix(ell, 4)
+    from ellspmv_tpu.parallel.spmv import sharded_pallas_spmv_fn
+    fn = sharded_pallas_spmv_fn(sm)
+    assert fn is not None
+    x = rng.randn(1024)
+    y0 = rng.randn(1024)
+    got = np.asarray(fn(sm, x, y0))
+    assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
