@@ -177,7 +177,9 @@ def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
         if matrix.num_rows != matrix.num_columns:
             raise ValueError("chained protocol needs a square matrix "
                              "(x is re-derived from y each iteration)")
-        scale = jnp.asarray(0.5, matrix.values.dtype)
+        val_dtype = np.asarray(
+            getattr(matrix, "values", getattr(matrix, "data", None))).dtype
+        scale = jnp.asarray(0.5, val_dtype)
 
         def make_loop(iters: int):
             @jax.jit
@@ -190,9 +192,9 @@ def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
                 return jax.lax.fori_loop(0, iters, body, (x0, y0))
             return run
 
-        y0 = jnp.zeros(matrix.num_rows, matrix.values.dtype) if y is None \
+        y0 = jnp.zeros(matrix.num_rows, val_dtype) if y is None \
             else jnp.asarray(y)
-        lo, hi = max(1, warmup or 2), max(4, repeat)
+        lo, hi = max(1, warmup or 2), max(8, repeat)
         run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
         _sync(run_lo(x, y0)); _sync(run_hi(x, y0))  # compile
         t0 = time.perf_counter(); _sync(run_lo(x, y0))

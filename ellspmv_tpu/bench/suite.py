@@ -1,0 +1,160 @@
+"""Benchmark suite over the BASELINE.json configs.
+
+Run: ``python -m ellspmv_tpu.bench.suite [--quick] [--json]``
+
+Covers the five driver configs (BASELINE.json):
+  0. bundled-test.mtx-equivalent golden check (ELL vs CSR vs dense)
+  1. 2-D 5-point Poisson (ideal ELL; also the DIA gather-free path)
+  2. banded FEM stand-in (variable rows, ELL vs CSR crossover)
+  3. power-law (sliced-ELL + CSR tail hybrid vs padded ELL)
+  4. row-sharded SpMV + CG loop over the device mesh
+
+Each row reports the reference metric set (Gnz/s, Gflop/s, min/max GB/s,
+roofline fraction — ellspmv.c:1868-1875 formulas).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench(matrix, x, repeat, protocol="chained"):
+    from ellspmv_tpu.bench.harness import benchmark_spmv
+    from ellspmv_tpu.ops import spmv
+
+    return benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv), matrix, x,
+                          repeat=repeat, warmup=2, protocol=protocol)
+
+
+def run_suite(quick: bool = False, as_json: bool = False,
+              stream=sys.stderr) -> list[dict]:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from ellspmv_tpu.formats.csr import csr_from_coo
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.formats.ell import ell_from_coo
+    from ellspmv_tpu.formats.sell import sell_from_coo
+    from ellspmv_tpu.models.generators import (banded_random, poisson2d,
+                                               power_law)
+    from ellspmv_tpu.models.solvers import cg
+    from ellspmv_tpu.ops import spmv
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    scale = 8 if quick else 1
+    results = []
+
+    def record(name, res, note=""):
+        row = {
+            "config": name,
+            "best_s": res.best,
+            "gnz_per_s": res.gnz_per_s(),
+            "gflop_per_s": res.gflop_per_s(),
+            "min_gb_per_s": res.min_gb_per_s(),
+            "max_gb_per_s": res.max_gb_per_s(),
+            "roofline": res.roofline_fraction(),
+            "note": note,
+        }
+        results.append(row)
+        stream.write(
+            f"{name:34s} {res.best * 1e3:9.3f} ms  "
+            f"{res.gnz_per_s():7.2f} Gnz/s  {res.min_gb_per_s():7.1f} GB/s "
+            f" {100 * res.roofline_fraction():5.1f}% roof  {note}\n")
+
+    # --- config 0: golden correctness -------------------------------------
+    rows = np.array([0, 0, 1, 2, 3, 3, 3, 3, 3], np.int32)
+    cols = np.array([0, 3, 1, 2, 0, 1, 2, 3, 4], np.int32)
+    vals = np.array([1.5, 1.5, 1.0, 3.0, 2.0, 1.0, 1.0, 1.0, 1.0])
+    from ellspmv_tpu.formats.coo import CooMatrix
+    coo0 = CooMatrix(4, 5, rows, cols, vals)
+    x0 = np.ones(5)
+    ye = np.asarray(spmv(ell_from_coo(coo0).device_put(), x0))
+    yc = np.asarray(spmv(csr_from_coo(coo0).device_put(), x0))
+    ok = (np.allclose(ye, [3, 1, 3, 6], rtol=1e-13)
+          and np.allclose(yc, [3, 1, 3, 6], rtol=1e-13))
+    stream.write(f"{'config0 golden test.mtx':34s} "
+                 f"{'PASS' if ok else 'FAIL'}  y={ye.tolist()}\n")
+    results.append({"config": "config0 golden", "pass": bool(ok)})
+
+    # --- config 1: Poisson stencil ---------------------------------------
+    nx = 1024 // (2 if quick else 1)
+    coo = poisson2d(nx)
+    x = np.random.RandomState(0).rand(coo.num_rows)
+    ell = ell_from_coo(coo, sort_rows=True,
+                       value_dtype=np.float64).device_put()
+    record(f"config1 poisson {nx}x{nx} ELL f64", _bench(ell, x, 5))
+    dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
+    record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 5),
+           note="gather-free")
+
+    # --- config 2: banded FEM stand-in -----------------------------------
+    n = 2_000_000 // scale
+    coo = banded_random(n, 16, 512, seed=0)
+    x = np.random.RandomState(1).rand(n)
+    ell = ell_from_coo(coo, sort_rows=True,
+                       value_dtype=np.float64).device_put()
+    record("config2 banded 16/row ELL f64", _bench(ell, x, 5))
+    csr = csr_from_coo(coo, sort_rows=True,
+                       value_dtype=np.float64).device_put()
+    record("config2 banded 16/row CSR f64", _bench(csr, x, 3),
+           note="segment-sum")
+
+    # --- config 3: power-law hybrid --------------------------------------
+    n = 1_000_000 // scale
+    coo = power_law(n, 8, seed=0)
+    x = np.random.RandomState(2).rand(n)
+    sell = sell_from_coo(coo, value_dtype=np.float64).device_put()
+    ell_pad = ell_from_coo(coo, value_dtype=np.float64)
+    note = (f"sell {sell.sellsize + sell.tailsize:,} slots vs ELL "
+            f"{ell_pad.ellsize:,}")
+    record("config3 power-law SELL f64", _bench(sell, x, 3), note=note)
+
+    # --- config 4: sharded SpMV + CG -------------------------------------
+    import jax as _jax
+    ndev = len(_jax.devices())
+    if ndev > 1:
+        from ellspmv_tpu.parallel.spmv import shard_matrix, sharded_spmv_fn
+        coo = poisson2d(128 if quick else 256)
+        ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+        sm = shard_matrix(ell, ndev)
+        fn = sharded_spmv_fn(sm)
+        from ellspmv_tpu.bench.harness import benchmark_spmv
+        x = np.ones(sm.num_columns)
+        res = benchmark_spmv(fn, sm, x, repeat=3, warmup=1,
+                             metrics_matrix=ell)
+        record(f"config4 sharded x{ndev} SpMV f64", res)
+        t0 = time.perf_counter()
+        sol = cg(lambda v: fn(sm, v), jax.numpy.ones(sm.num_rows),
+                 tol=1e-8, maxiter=1500)
+        stream.write(f"{'config4 CG solve':34s} {int(sol.iterations)} iters,"
+                     f" residual {float(sol.residual_norm):.2e}, "
+                     f"{time.perf_counter() - t0:.1f} s\n")
+        results.append({"config": "config4 cg",
+                        "iterations": int(sol.iterations),
+                        "residual": float(sol.residual_norm)})
+    else:
+        stream.write("config4 skipped (single device; driver validates via "
+                     "dryrun_multichip)\n")
+
+    if as_json:
+        print(json.dumps(results, indent=1))
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+    run_suite(quick=args.quick, as_json=args.json)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

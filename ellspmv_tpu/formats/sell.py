@@ -60,9 +60,10 @@ class SellMatrix:
         return self.buckets[0].values if self.buckets else self.tail.values
 
     def device_put(self, value_dtype=None) -> "SellMatrix":
+        import jax.numpy as jnp
         return SellMatrix(
             [b.device_put(value_dtype) for b in self.buckets],
-            self.order, self.slice_rows,
+            jnp.asarray(np.asarray(self.order)), self.slice_rows,
             None if self.tail is None else self.tail.device_put(value_dtype),
             self.num_rows, self.num_columns, self.num_nonzeros)
 
@@ -146,7 +147,7 @@ def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
         yb = _spmv(b, x, None, backend=backend)      # (bucket_rows,)
         parts.append(yb.reshape(-1, R))
     tiles = jnp.concatenate(parts, axis=0)           # (T, R) concat order
-    y2d = tiles[jnp.asarray(sm.order)]               # original tile order
+    y2d = tiles[jnp.asarray(np.asarray(sm.order))]   # original tile order
     out = y2d.reshape(-1)[:sm.num_rows]
     if sm.tail is not None:
         out = csr_spmv_xla(sm.tail, x, out)
