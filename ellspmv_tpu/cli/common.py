@@ -372,6 +372,19 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             y = reorder_map.permute_x(y)   # same row permutation
 
     mat = mat.device_put()
+    if opts.verbose and not csr and opts.backend in ("auto", "pallas"):
+        import jax as _jax
+        if _jax.devices()[0].platform == "tpu":
+            from ellspmv_tpu.ops.ell_pallas import get_plan
+            dp = get_plan(mat)
+            if dp is not None:
+                pp = dp.plan
+                log.write(f"pallas plan: {pp.num_tiles} tiles x "
+                          f"{pp.G * 128} rows, window {pp.K128}x128, "
+                          f"{pp.KS} gather steps/slot\n")
+            else:
+                log.write("pallas plan: none (no column locality; XLA "
+                          "fallback — consider --sort-rows/--reorder=rcm)\n")
 
     # Sharded path when requested
     if opts.devices > 1:
