@@ -12,9 +12,14 @@ EllMatrix so every gather the kernel issues is a narrow, lane-local one:
   quasi-diagonal whose columns span only ``KS``×128 entries; the kernel
   resolves a slot's gathers with KS lane-gather+select steps from the
   slot's sub-window (``qb[t, s]``);
-- the ELL value/column arrays are re-laid out slot-major as (S*G, 128)
-  blocks per tile so every kernel operand already has the (sublane, 128)
+- the ELL value/column arrays are re-laid out slot-major as (T, S*G, 128)
+  per-tile blocks so every kernel operand already has the (sublane, 128)
   shape the VPU wants — no in-kernel relayouts.
+
+Tile-size selection is two-phase for speed: per-slot column extrema are
+computed once at the finest (128-row) granularity and folded to each
+candidate tile size; only the winning candidate's operands are
+materialized.
 
 The plan degrades gracefully: matrices whose windows would be too wide
 (KS or K128 over budget — e.g. unsorted or power-law columns) return None
@@ -38,45 +43,11 @@ DEFAULT_ROW_TILE = 1024
 # cycle, and VPU (8,128)-op issue per cycle.
 _HBM_BYTES_PER_CYCLE = 870.0
 _VPU_SUBLANE_ROWS_PER_CYCLE = 8.0
+# Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
+# bookkeeping + DMA issue) — punishes very small tiles.
+_TILE_OVERHEAD_CYCLES = 250.0
 
-
-def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
-    """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
-    gather/select/FMA time. Used only to rank candidate plans."""
-    S, G, T = plan.rowsize, plan.G, plan.num_tiles
-    nnz_slots = T * S * G * 128
-    idx_bytes = 4
-    hbm = (nnz_slots * (value_bytes + idx_bytes)
-           + T * plan.K128 * 128 * value_bytes       # x window per tile
-           + T * G * 128 * value_bytes)              # y
-    gather_ops = (5 if dd else 3) * plan.KS + (20 if dd else 2)
-    vpu = T * S * G * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
-    # Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
-    # bookkeeping + DMA issue) — punishes very small tiles.
-    overhead = T * 250.0
-    return max(hbm / _HBM_BYTES_PER_CYCLE, vpu) + overhead
-
-
-def best_plan(ell, row_tiles=(1024, 512, 256, 128),
-              max_ks: int = DEFAULT_MAX_KS,
-              max_k128: int = DEFAULT_MAX_K128,
-              value_dtype=np.float32) -> "EllPlan | None":
-    """Build plans at several row-tile sizes and keep the cheapest by the
-    cost model (smaller tiles narrow the per-slot windows — fewer gather
-    steps — but re-DMA x more often)."""
-    dd = np.dtype(value_dtype) == np.float64
-    vb = 8 if dd else 4
-    best = None
-    best_cost = float("inf")
-    for rt in row_tiles:
-        p = build_plan(ell, row_tile=rt, max_ks=max_ks, max_k128=max_k128,
-                       value_dtype=value_dtype)
-        if p is None:
-            continue
-        c = estimate_cycles(p, vb, dd)
-        if c < best_cost:
-            best, best_cost = p, c
-    return best
+_I32_BIG = np.int32(np.iinfo(np.int32).max)
 
 
 @dataclasses.dataclass
@@ -94,7 +65,7 @@ class EllPlan:
     wbase128: np.ndarray   # (num_tiles,) int32: x window start / 128
     qb: np.ndarray         # (num_tiles, rowsize) int32: slot sub-window base
     lcol: np.ndarray       # (num_tiles, rowsize*G, 128) int32 local columns
-    vals: np.ndarray       # same shape, kernel dtype (f32 or f32x2 for dd)
+    vals: np.ndarray       # same shape, kernel dtype (f32, or f64 for dd)
 
     @property
     def vmem_window_bytes(self) -> int:
@@ -105,12 +76,92 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _cost(T, S, G, KS, K128, value_bytes, dd) -> float:
+    """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
+    gather/select/FMA time, plus per-tile fixed overhead. Ranks candidate
+    tile sizes only."""
+    nnz_slots = T * S * G * 128
+    hbm = (nnz_slots * (value_bytes + 4)
+           + T * K128 * 128 * value_bytes        # x window per tile
+           + T * G * 128 * value_bytes)          # y
+    gather_ops = (5 if dd else 3) * KS + (20 if dd else 2)
+    vpu = T * S * G * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
+    return max(hbm / _HBM_BYTES_PER_CYCLE, vpu) + T * _TILE_OVERHEAD_CYCLES
+
+
+def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
+    return _cost(plan.num_tiles, plan.rowsize, plan.G, plan.KS, plan.K128,
+                 value_bytes, dd)
+
+
+class _Stats:
+    """Per-slot column extrema at 128-row granularity, foldable to any
+    tile size that is a multiple of 128."""
+
+    def __init__(self, ell):
+        S = ell.rowsize
+        n_pad_in = ell.padded_rows
+        n128 = _round_up(n_pad_in, 128)
+        cols = np.zeros((n128, S), np.int32)
+        cols[:n_pad_in] = np.asarray(ell.colidx, np.int32)
+        real = np.zeros((n128, S), bool)
+        real[:n_pad_in] = np.asarray(ell.values) != 0
+        t128 = n128 // 128
+        self.smin = np.where(real, cols, _I32_BIG).reshape(
+            t128, 128, S).min(axis=1)                    # (t128, S)
+        self.smax = np.where(real, cols, np.int32(-1)).reshape(
+            t128, 128, S).max(axis=1)
+        self.t128 = t128
+        self.S = S
+
+    def fold(self, G: int):
+        """Slot extrema for tiles of G*128 rows: (T, S) arrays."""
+        t = _round_up(self.t128, G) // G
+        smin = np.full((t * G, self.S), _I32_BIG, np.int32)
+        smax = np.full((t * G, self.S), -1, np.int32)
+        smin[:self.t128] = self.smin
+        smax[:self.t128] = self.smax
+        return (smin.reshape(t, G, self.S).min(axis=1),
+                smax.reshape(t, G, self.S).max(axis=1))
+
+
+def _windows(smin, smax, nx128, max_ks, max_k128):
+    """Derive (wbase128, K128, qb, KS) from per-tile slot extrema, or None
+    when over budget."""
+    tile_min = smin.min(axis=1)
+    tile_max = smax.max(axis=1)
+    empty = tile_max < 0
+    tile_min = np.where(empty, 0, tile_min)
+    tile_max = np.where(empty, 0, tile_max)
+
+    wbase128 = (tile_min.astype(np.int64) >> 7)
+    K128 = int(np.max((tile_max.astype(np.int64) >> 7) - wbase128 + 1))
+    K128 = _round_up(max(K128, 1), 8)
+    if K128 > max_k128 or K128 > nx128:
+        K128 = min(K128, nx128)
+        if K128 > max_k128:
+            return None
+    wbase128 = np.minimum(wbase128, max(nx128 - K128, 0))
+
+    slot_empty = smax < 0
+    smin64 = np.where(slot_empty, wbase128[:, None] << 7,
+                      smin.astype(np.int64))
+    smax64 = np.where(slot_empty, wbase128[:, None] << 7,
+                      smax.astype(np.int64))
+    qb = (smin64 >> 7) - wbase128[:, None]
+    KS = int(np.max((smax64 >> 7) - (wbase128[:, None] + qb) + 1))
+    KS = max(KS, 1)
+    if KS > max_ks:
+        return None
+    qb = np.minimum(qb, np.maximum(K128 - KS, 0))
+    return wbase128, K128, qb, KS
+
+
 def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
                max_ks: int = DEFAULT_MAX_KS,
                max_k128: int = DEFAULT_MAX_K128,
-               value_dtype=np.float32) -> EllPlan | None:
-    """Build a kernel plan, or None if the matrix doesn't fit the kernel's
-    locality budget (caller falls back)."""
+               value_dtype=np.float32, _stats=None) -> EllPlan | None:
+    """Build a kernel plan at one tile size, or None if over budget."""
     S = ell.rowsize
     if S == 0:
         return None
@@ -124,60 +175,34 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     # odd-height DMAs into VMEM scratch fault the TPU.
     nx128 = _round_up(max(_round_up(m, 128) // 128, 1), 8)
 
-    cols = np.zeros((n_pad, S), np.int64)
-    vals = np.zeros((n_pad, S), np.float64)
-    cols[:n_pad_in, :ell.rowsize] = np.asarray(ell.colidx)
-    vals[:n_pad_in, :ell.rowsize] = np.asarray(ell.values)
-
-    real = vals != 0.0
-    # Padding/zero entries contribute 0 regardless of the gathered x value,
-    # so give them column = tile window base (they never widen a window).
-    BIG = np.int64(1) << 60
-    cmin = np.where(real, cols, BIG).reshape(num_tiles, R, S)
-    cmax = np.where(real, cols, -1).reshape(num_tiles, R, S)
-
-    tile_min = cmin.min(axis=(1, 2))          # (T,)
-    tile_max = cmax.max(axis=(1, 2))
-    empty_tile = tile_max < 0
-    tile_min = np.where(empty_tile, 0, tile_min)
-    tile_max = np.where(empty_tile, 0, tile_max)
-
-    wbase128 = (tile_min >> 7).astype(np.int64)
-    K128 = int(np.max((tile_max >> 7) - wbase128 + 1))
-    K128 = _round_up(max(K128, 1), 8)
-    if K128 > max_k128 or K128 > nx128:
-        K128 = min(K128, nx128)
-        if K128 > max_k128:
-            return None
-    # Clamp windows so they fit inside x.
-    wbase128 = np.minimum(wbase128, max(nx128 - K128, 0))
-
-    slot_min = cmin.min(axis=1)               # (T, S)
-    slot_max = cmax.max(axis=1)
-    slot_empty = slot_max < 0
-    slot_min = np.where(slot_empty, wbase128[:, None] << 7, slot_min)
-    slot_max = np.where(slot_empty, wbase128[:, None] << 7, slot_max)
-
-    qb = (slot_min >> 7) - wbase128[:, None]
-    KS = int(np.max((slot_max >> 7) - (wbase128[:, None] + qb) + 1))
-    KS = max(KS, 1)
-    if KS > max_ks:
+    stats = _stats if _stats is not None else _Stats(ell)
+    win = _windows(*stats.fold(G), nx128, max_ks, max_k128)
+    if win is None:
         return None
-    # Slot sub-windows must stay inside the tile window.
-    qb = np.minimum(qb, np.maximum(K128 - KS, 0)).astype(np.int64)
+    wbase128, K128, qb, KS = win
 
-    base = (wbase128[:, None] + qb) << 7      # (T, S) absolute sub-window
-    lcol = cols.reshape(num_tiles, R, S) - base[:, None, :]
+    cols = np.zeros((n_pad, S), np.int32)
+    cols[:n_pad_in] = np.asarray(ell.colidx, np.int32)
+    real = np.zeros((n_pad, S), bool)
+    real[:n_pad_in] = np.asarray(ell.values) != 0
+
+    # Padding/zero entries contribute 0 regardless of the gathered x value;
+    # give them local column 0 (they never widen a window).
+    base = ((wbase128[:, None] + qb) << 7).astype(np.int64)  # (T, S)
+    lcol = cols.reshape(num_tiles, R, S).astype(np.int64) - base[:, None, :]
     lcol = np.where(real.reshape(num_tiles, R, S), lcol, 0)
     if lcol.min() < 0 or lcol.max() >= KS * 128:
         # Shouldn't happen; fall back rather than gather out of window.
         return None
 
+    vals = np.zeros((n_pad, S), np.dtype(value_dtype))
+    vals[:n_pad_in] = np.asarray(ell.values)
+
     # Slot-major relayout: (T, R, S) -> (T, S*G, 128) per-tile blocks
     def relayout(a, dt):
         return np.ascontiguousarray(
             a.reshape(num_tiles, G, 128, S).transpose(0, 3, 1, 2)
-        ).reshape(num_tiles, S * G, 128).astype(dt)
+        ).reshape(num_tiles, S * G, 128).astype(dt, copy=False)
 
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,
@@ -185,5 +210,39 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
         wbase128=wbase128.astype(np.int32),
         qb=qb.astype(np.int32),
         lcol=relayout(lcol, np.int32),
-        vals=relayout(vals, value_dtype),
+        vals=relayout(vals, np.dtype(value_dtype)),
     )
+
+
+def best_plan(ell, row_tiles=(1024, 512, 256, 128),
+              max_ks: int = DEFAULT_MAX_KS,
+              max_k128: int = DEFAULT_MAX_K128,
+              value_dtype=np.float32) -> EllPlan | None:
+    """Pick the cheapest tile size by the cost model over shared stats,
+    materializing only the winner (smaller tiles narrow the per-slot
+    windows — fewer gather steps — but re-DMA x more often)."""
+    S = ell.rowsize
+    if S == 0:
+        return None
+    dd = np.dtype(value_dtype) == np.float64
+    vb = 8 if dd else 4
+    m = ell.num_columns
+    nx128 = _round_up(max(_round_up(m, 128) // 128, 1), 8)
+    stats = _Stats(ell)
+    best_rt, best_cost = None, float("inf")
+    for rt in row_tiles:
+        R = min(rt, max(128, _round_up(ell.padded_rows, 128)))
+        G = R // 128
+        win = _windows(*stats.fold(G), nx128, max_ks, max_k128)
+        if win is None:
+            continue
+        _, K128, _, KS = win
+        T = _round_up(ell.padded_rows, R) // R
+        c = _cost(T, S, G, KS, K128, vb, dd)
+        if c < best_cost:
+            best_rt, best_cost = rt, c
+    if best_rt is None:
+        return None
+    return build_plan(ell, row_tile=best_rt, max_ks=max_ks,
+                      max_k128=max_k128, value_dtype=value_dtype,
+                      _stats=stats)
