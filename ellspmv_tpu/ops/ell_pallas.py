@@ -104,7 +104,8 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
 
     def kernel(wb_ref, qb_ref, lcol_ref, *rest):
         if dd:
-            vh_ref, vl_ref, x_ref, yh_ref, yl_ref, xw, sem = rest
+            (vh_ref, vl_ref, xh_ref, xl_ref, yh_ref, yl_ref,
+             xw, xwl, sem, seml) = rest
         else:
             v_ref, x_ref, y_ref, xw, sem = rest
         i = pl.program_id(0)
@@ -112,22 +113,30 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         sbase = slot * jnp.int32(K128)
 
-        def dma(buf, tile):
-            # xw is (2*K128, W): buffer b occupies rows [b*K128, (b+1)*K128)
-            return pltpu.make_async_copy(
-                x_ref.at[pl.ds(wb_ref[tile], K128)],
-                xw.at[pl.ds(buf * jnp.int32(K128), K128)],
-                sem.at[buf])
+        def dmas(buf, tile):
+            # each scratch is (2*K128, 128): buffer b = rows [b*K128, ...)
+            dst = pl.ds(buf * jnp.int32(K128), K128)
+            src = pl.ds(wb_ref[tile], K128)
+            if dd:
+                return (pltpu.make_async_copy(xh_ref.at[src], xw.at[dst],
+                                              sem.at[buf]),
+                        pltpu.make_async_copy(xl_ref.at[src], xwl.at[dst],
+                                              seml.at[buf]))
+            return (pltpu.make_async_copy(x_ref.at[src], xw.at[dst],
+                                          sem.at[buf]),)
 
         @pl.when(i == 0)
         def _():
-            dma(slot, i).start()
+            for c in dmas(slot, i):
+                c.start()
 
         @pl.when(i + 1 < T)
         def _():
-            dma(nxt, i + jnp.int32(1)).start()
+            for c in dmas(nxt, i + jnp.int32(1)):
+                c.start()
 
-        dma(slot, i).wait()
+        for c in dmas(slot, i):
+            c.wait()
 
         acc = jnp.zeros((G, 128), jnp.float32)
         acc_l = jnp.zeros((G, 128), jnp.float32) if dd else None
@@ -143,9 +152,10 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
                 xg = jnp.zeros((G, 128), jnp.float32)
             for k in range(KS):
                 if dd:
-                    row = xw[pl.ds(sbase + qb + k, 1), :]     # (1, 256) h|l
-                    rh = jnp.broadcast_to(row[:, :128], (G, 128))
-                    rl = jnp.broadcast_to(row[:, 128:], (G, 128))
+                    rh = jnp.broadcast_to(
+                        xw[pl.ds(sbase + qb + k, 1), :], (G, 128))
+                    rl = jnp.broadcast_to(
+                        xwl[pl.ds(sbase + qb + k, 1), :], (G, 128))
                     hit = q == k
                     xg_h = jnp.where(hit, _lane_gather(rh, lane), xg_h)
                     xg_l = jnp.where(hit, _lane_gather(rl, lane), xg_l)
@@ -214,16 +224,19 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "interpret"))
-def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d, S, G, KS, K128, T,
-            interpret=False):
+def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
+            S, G, KS, K128, T, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
+    in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * K128, 256), jnp.float32),  # hi | lo halves
+            pltpu.VMEM((2 * K128, 128), jnp.float32),  # x hi window
+            pltpu.VMEM((2 * K128, 128), jnp.float32),  # x lo window
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -233,7 +246,7 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d, S, G, KS, K128, T,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
         interpret=interpret,
-    )(wbase128, qb, lcol, vals_h, vals_l, x2d)
+    )(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l)
 
 
 class DevicePlan:
@@ -288,9 +301,8 @@ def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
     xp = jnp.pad(x, (0, nx128 * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
-    x2d = jnp.concatenate([xh.reshape(nx128, 128), xl.reshape(nx128, 128)],
-                          axis=1)                     # (nx128, 256) hi|lo
-    yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d,
+    yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
+                     xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                      S, G, KS, K128, T, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))

@@ -42,10 +42,10 @@ DEFAULT_ROW_TILE = 1024
 # Cost-model constants for plan selection (v5e-class): HBM bytes per core
 # cycle, and VPU (8,128)-op issue per cycle.
 _HBM_BYTES_PER_CYCLE = 870.0
-_VPU_SUBLANE_ROWS_PER_CYCLE = 8.0
+_VPU_SUBLANE_ROWS_PER_CYCLE = 24.0   # v5e measured ~3 (8,128)-ops/cycle
 # Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
 # bookkeeping + DMA issue) — punishes very small tiles.
-_TILE_OVERHEAD_CYCLES = 250.0
+_TILE_OVERHEAD_CYCLES = 300.0
 
 _I32_BIG = np.int32(np.iinfo(np.int32).max)
 

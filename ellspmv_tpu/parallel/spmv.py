@@ -407,10 +407,9 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
         if dd:
             xh = xp.astype(jnp.float32)
             xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
-            x2d = jnp.concatenate([xh.reshape(nx128, 128),
-                                   xl.reshape(nx128, 128)], axis=1)
             yh, yl = ell_pallas._run_dd(
-                wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk, x2d,
+                wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk,
+                xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                 S, G, KS, K128, T_local, interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
