@@ -97,7 +97,8 @@ def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l):
     return _dd_add(acc_h, acc_l, ph, pl_)
 
 
-def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
+def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
+                 slope: int = 0):
     """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
     slot selection indexes a leading (untiled) dim; the x window is
     double-buffered through a (2, K128, W) scratch."""
@@ -145,24 +146,35 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool):
             q = jax.lax.shift_right_logical(idx, jnp.int32(7))
             lane = jax.lax.bitwise_and(idx, jnp.int32(127))
             qb = qb_ref[0, 0, s]
+            ks = qb_ref[0, 1, s]      # per-(tile, slot) gather step count
+
+            # slope-1: the operand is a (G,128) diagonal slice of the
+            # window — sublane g reads window row qb+k+g, matching the
+            # per-group rebased local columns. slope-0: one window row
+            # broadcast to all groups. The loop trip count is the SLOT's
+            # span, not the global max (lax.fori_loop, dynamic bound).
+            def op(buf, k):
+                if slope:
+                    return buf[pl.ds(sbase + qb + k, G), :]
+                return jnp.broadcast_to(
+                    buf[pl.ds(sbase + qb + k, 1), :], (G, 128))
+
             if dd:
-                xg_h = jnp.zeros((G, 128), jnp.float32)
-                xg_l = jnp.zeros((G, 128), jnp.float32)
-            else:
-                xg = jnp.zeros((G, 128), jnp.float32)
-            for k in range(KS):
-                if dd:
-                    rh = jnp.broadcast_to(
-                        xw[pl.ds(sbase + qb + k, 1), :], (G, 128))
-                    rl = jnp.broadcast_to(
-                        xwl[pl.ds(sbase + qb + k, 1), :], (G, 128))
+                def body(k, carry):
+                    h, lo = carry
                     hit = q == k
-                    xg_h = jnp.where(hit, _lane_gather(rh, lane), xg_h)
-                    xg_l = jnp.where(hit, _lane_gather(rl, lane), xg_l)
-                else:
-                    row = jnp.broadcast_to(
-                        xw[pl.ds(sbase + qb + k, 1), :], (G, 128))
-                    xg = jnp.where(q == k, _lane_gather(row, lane), xg)
+                    h = jnp.where(hit, _lane_gather(op(xw, k), lane), h)
+                    lo = jnp.where(hit, _lane_gather(op(xwl, k), lane), lo)
+                    return h, lo
+                xg_h, xg_l = jax.lax.fori_loop(
+                    0, ks, body, (jnp.zeros((G, 128), jnp.float32),
+                                  jnp.zeros((G, 128), jnp.float32)))
+            else:
+                def body(k, xg):
+                    return jnp.where(q == k, _lane_gather(op(xw, k), lane),
+                                     xg)
+                xg = jax.lax.fori_loop(
+                    0, ks, body, jnp.zeros((G, 128), jnp.float32))
             if dd:
                 acc, acc_l = _dd_fma(acc, acc_l, vh_ref[0, s], vl_ref[0, s],
                                      xg_h, xg_l)
@@ -187,7 +199,7 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
         return (i, _i0(), _i0(), _i0())
 
     in_specs = [
-        pl.BlockSpec((1, 1, S), im3, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2, S), im3, memory_space=pltpu.SMEM),
     ] + [
         pl.BlockSpec((1, S, G, 128), im4, memory_space=pltpu.VMEM)
         for _ in range(n_tensor_inputs)
@@ -200,8 +212,9 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "G", "KS", "K128", "T", "interpret"))
-def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
+                   static_argnames=("S", "G", "KS", "K128", "T", "slope",
+                                    "interpret"))
+def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
              interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 2, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -215,7 +228,7 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, T, dd=False),
+        _make_kernel(S, G, KS, K128, T, dd=False, slope=slope),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
@@ -223,9 +236,10 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "G", "KS", "K128", "T", "interpret"))
+                   static_argnames=("S", "G", "KS", "K128", "T", "slope",
+                                    "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
-            S, G, KS, K128, T, interpret=False):
+            S, G, KS, K128, T, slope=0, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -241,7 +255,7 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, T, dd=True),
+        _make_kernel(S, G, KS, K128, T, dd=True, slope=slope),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
@@ -260,7 +274,7 @@ class DevicePlan:
                               "ELLSPMV_TPU_PALLAS_INTERPRET")))
         T, S, G = plan.num_tiles, plan.rowsize, plan.G
         self.wbase128 = jnp.asarray(plan.wbase128)              # (T,)
-        self.qb = jnp.asarray(plan.qb)[:, None, :]              # (T,1,S)
+        self.qb = jnp.asarray(plan.qb)                          # (T,2,S)
         self.lcol = jnp.asarray(plan.lcol.reshape(T, S, G, 128))
         if dd:
             vh = plan.vals.astype(np.float32)
@@ -277,33 +291,37 @@ class DevicePlan:
             return _dd_apply(self.wbase128, self.qb, self.lcol,
                              self.vals_h, self.vals_l, x,
                              p.rowsize, p.G, p.KS, p.K128, p.num_tiles,
-                             p.nx128, self.interpret)
+                             p.nx128, p.lead, p.slope, self.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals, x,
                           p.rowsize, p.G, p.KS, p.K128, p.num_tiles,
-                          p.nx128, self.interpret)
+                          p.nx128, p.lead, p.slope, self.interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
-                                             "nx128", "interpret"))
+                                             "nx128", "lead", "slope",
+                                             "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
-               interpret=False):
+               lead=0, slope=0, interpret=False):
     x = x.astype(jnp.float32)
-    x2d = jnp.pad(x, (0, nx128 * 128 - x.shape[0])).reshape(nx128, 128)
-    y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T,
+    x2d = jnp.pad(x, (lead * 128,
+                      nx128 * 128 - lead * 128 - x.shape[0])
+                  ).reshape(nx128, 128)
+    y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope,
                  interpret)
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
-                                             "nx128", "interpret"))
+                                             "nx128", "lead", "slope",
+                                             "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
-              nx128, interpret=False):
-    xp = jnp.pad(x, (0, nx128 * 128 - x.shape[0]))
+              nx128, lead=0, slope=0, interpret=False):
+    xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                     S, G, KS, K128, T, interpret)
+                     S, G, KS, K128, T, slope, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
 

@@ -61,9 +61,11 @@ class EllPlan:
     KS: int                # gather steps per slot
     K128: int              # x window height in 128-rows
     n_pad: int             # padded row count (num_tiles * G * 128)
-    nx128: int             # padded x length in 128-blocks
+    nx128: int             # padded x image length in 128-blocks
+    lead: int              # leading zero 128-rows in the x image
+    slope: int             # 0: raw columns; 1: per-group rebased (diagonal)
     wbase128: np.ndarray   # (num_tiles,) int32: x window start / 128
-    qb: np.ndarray         # (num_tiles, rowsize) int32: slot sub-window base
+    qb: np.ndarray         # (T, 2, rowsize) int32: [qb; per-slot ks]
     lcol: np.ndarray       # (num_tiles, rowsize*G, 128) int32 local columns
     vals: np.ndarray       # same shape, kernel dtype (f32, or f64 for dd)
 
@@ -95,8 +97,19 @@ def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
 
 
 class _Stats:
-    """Per-slot column extrema at 128-row granularity, foldable to any
-    tile size that is a multiple of 128."""
+    """Per-slot rebased-column extrema at 128-row granularity, foldable to
+    any tile size that is a multiple of 128.
+
+    Two rebasings, chosen per matrix by the cost model:
+
+    - slope 0: D = col. Slot windows span the tile's raw column range —
+      right when columns do not track rows (small m, random-in-block).
+    - slope 1: D = col - 128*(row//128). For quasi-diagonal slots (sorted
+      banded/stencil matrices) this removes the tile-height term from the
+      window span, so huge row tiles (which amortize per-tile overhead)
+      keep tiny gather windows. The kernel then gathers from a (G, 128)
+      diagonal slice of the x window instead of a broadcast row.
+    """
 
     def __init__(self, ell):
         S = ell.rowsize
@@ -107,61 +120,85 @@ class _Stats:
         real = np.zeros((n128, S), bool)
         real[:n_pad_in] = np.asarray(ell.values) != 0
         t128 = n128 // 128
-        self.smin = np.where(real, cols, _I32_BIG).reshape(
-            t128, 128, S).min(axis=1)                    # (t128, S)
-        self.smax = np.where(real, cols, np.int32(-1)).reshape(
-            t128, 128, S).max(axis=1)
+        self.smin = {}
+        self.smax = {}
+        for slope in (0, 1):
+            d = cols if slope == 0 else (
+                cols - (np.arange(n128, dtype=np.int32) // 128 * 128)[:, None])
+            self.smin[slope] = np.where(real, d, _I32_BIG).reshape(
+                t128, 128, S).min(axis=1)                # (t128, S)
+            self.smax[slope] = np.where(real, d, np.int32(-1)).reshape(
+                t128, 128, S).max(axis=1)
         self.t128 = t128
         self.S = S
 
-    def fold(self, G: int):
-        """Slot extrema for tiles of G*128 rows: (T, S) arrays."""
+    def fold(self, G: int, slope: int):
+        """Per-tile slot extrema of the rebased column for tiles of G*128
+        rows, as ABSOLUTE 128-row positions (slope-1 values get the tile's
+        base group index added back): (T, S) int64 arrays."""
         t = _round_up(self.t128, G) // G
         smin = np.full((t * G, self.S), _I32_BIG, np.int32)
         smax = np.full((t * G, self.S), -1, np.int32)
-        smin[:self.t128] = self.smin
-        smax[:self.t128] = self.smax
-        return (smin.reshape(t, G, self.S).min(axis=1),
-                smax.reshape(t, G, self.S).max(axis=1))
+        smin[:self.t128] = self.smin[slope]
+        smax[:self.t128] = self.smax[slope]
+        fmin = smin.reshape(t, G, self.S).astype(np.int64)
+        fmax = smax.reshape(t, G, self.S).astype(np.int64)
+        if slope == 1:
+            base = (np.arange(t, dtype=np.int64) * G * 128)[:, None, None]
+            fmin = np.where(fmin == _I32_BIG, np.int64(1) << 60,
+                            fmin + base)
+            fmax = np.where(fmax < 0, -1, fmax + base)
+            return fmin.min(axis=1), fmax.max(axis=1)
+        fmin = np.where(fmin == _I32_BIG, np.int64(1) << 60, fmin)
+        return fmin.min(axis=1), fmax.max(axis=1)
 
 
-def _windows(smin, smax, nx128, max_ks, max_k128):
-    """Derive (wbase128, K128, qb, KS) from per-tile slot extrema, or None
-    when over budget."""
+def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0):
+    """Derive (wbase128, K128, qb, KS) from per-tile slot extrema of the
+    (rebased) columns, or None when over budget. `extra_rows` = G-1 for
+    slope-1 plans: the diagonal (G,128) gather slice reads that many rows
+    past the sub-window base."""
     tile_min = smin.min(axis=1)
     tile_max = smax.max(axis=1)
     empty = tile_max < 0
     tile_min = np.where(empty, 0, tile_min)
     tile_max = np.where(empty, 0, tile_max)
 
-    wbase128 = (tile_min.astype(np.int64) >> 7)
-    K128 = int(np.max((tile_max.astype(np.int64) >> 7) - wbase128 + 1))
+    wbase128 = np.maximum(tile_min >> 7, 0)
+    K128 = int(np.max((tile_max >> 7) - wbase128 + 1)) + extra_rows
     K128 = _round_up(max(K128, 1), 8)
-    if K128 > max_k128 or K128 > nx128:
-        K128 = min(K128, nx128)
-        if K128 > max_k128:
-            return None
+    if K128 > nx128:
+        # nx128 is the full padded image height, a multiple of 8 already
+        K128 = nx128
+    if K128 > max_k128:
+        return None
+    # Clamp so window DMAs stay inside the padded x image (an overrun is a
+    # hardware fault, not an error).
     wbase128 = np.minimum(wbase128, max(nx128 - K128, 0))
 
     slot_empty = smax < 0
-    smin64 = np.where(slot_empty, wbase128[:, None] << 7,
-                      smin.astype(np.int64))
-    smax64 = np.where(slot_empty, wbase128[:, None] << 7,
-                      smax.astype(np.int64))
-    qb = (smin64 >> 7) - wbase128[:, None]
+    smin64 = np.where(slot_empty, wbase128[:, None] << 7, smin)
+    smax64 = np.where(slot_empty, wbase128[:, None] << 7, smax)
+    qb = np.maximum((smin64 >> 7) - wbase128[:, None], 0)
     KS = int(np.max((smax64 >> 7) - (wbase128[:, None] + qb) + 1))
     KS = max(KS, 1)
     if KS > max_ks:
         return None
-    qb = np.minimum(qb, np.maximum(K128 - KS, 0))
-    return wbase128, K128, qb, KS
+    qb = np.minimum(qb, np.maximum(K128 - KS - extra_rows, 0))
+    # per-(tile, slot) gather step count (<= KS): lets the kernel skip
+    # steps on slots narrower than the global max
+    ks = np.maximum((smax64 >> 7) - (wbase128[:, None] + qb) + 1, 1)
+    ks = np.minimum(ks, KS)
+    return wbase128, K128, qb, KS, ks
 
 
 def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
                max_ks: int = DEFAULT_MAX_KS,
                max_k128: int = DEFAULT_MAX_K128,
-               value_dtype=np.float32, _stats=None) -> EllPlan | None:
-    """Build a kernel plan at one tile size, or None if over budget."""
+               value_dtype=np.float32, slope: int = 0,
+               _stats=None) -> EllPlan | None:
+    """Build a kernel plan at one tile size and rebasing slope, or None if
+    over budget."""
     S = ell.rowsize
     if S == 0:
         return None
@@ -171,25 +208,36 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     G = R // 128
     n_pad = _round_up(n_pad_in, R)
     num_tiles = n_pad // R
-    # x window rows and the padded x height must be sublane-aligned (8):
-    # odd-height DMAs into VMEM scratch fault the TPU.
-    nx128 = _round_up(max(_round_up(m, 128) // 128, 1), 8)
+    extra = (G - 1) if slope else 0
+    lead = extra
+    # x window rows and the padded x image must be sublane-aligned (8):
+    # odd-height DMAs into VMEM scratch fault the TPU. Slope-1 plans read
+    # up to G-1 rows past a sub-window base (trailing pad) and rebased
+    # columns can reach G-1 rows before x[0] (leading pad).
+    nx128 = _round_up(lead + max(_round_up(m, 128) // 128, 1) + extra, 8)
 
     stats = _stats if _stats is not None else _Stats(ell)
-    win = _windows(*stats.fold(G), nx128, max_ks, max_k128)
+    fmin, fmax = stats.fold(G, slope)
+    win = _windows(fmin + 128 * lead, np.where(fmax < 0, fmax,
+                                               fmax + 128 * lead),
+                   nx128, max_ks, max_k128, extra)
     if win is None:
         return None
-    wbase128, K128, qb, KS = win
+    wbase128, K128, qb, KS, ks = win
 
-    cols = np.zeros((n_pad, S), np.int32)
-    cols[:n_pad_in] = np.asarray(ell.colidx, np.int32)
+    cols = np.zeros((n_pad, S), np.int64)
+    cols[:n_pad_in] = np.asarray(ell.colidx)
     real = np.zeros((n_pad, S), bool)
     real[:n_pad_in] = np.asarray(ell.values) != 0
 
     # Padding/zero entries contribute 0 regardless of the gathered x value;
     # give them local column 0 (they never widen a window).
     base = ((wbase128[:, None] + qb) << 7).astype(np.int64)  # (T, S)
-    lcol = cols.reshape(num_tiles, R, S).astype(np.int64) - base[:, None, :]
+    eff = cols.reshape(num_tiles, R, S) + 128 * lead
+    if slope:
+        eff = eff - (np.arange(R, dtype=np.int64) // 128 * 128)[None, :,
+                                                                None]
+    lcol = eff - base[:, None, :]
     lcol = np.where(real.reshape(num_tiles, R, S), lcol, 0)
     if lcol.min() < 0 or lcol.max() >= KS * 128:
         # Shouldn't happen; fall back rather than gather out of window.
@@ -206,43 +254,52 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
 
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,
-        n_pad=n_pad, nx128=nx128,
+        n_pad=n_pad, nx128=nx128, lead=lead, slope=slope,
         wbase128=wbase128.astype(np.int32),
-        qb=qb.astype(np.int32),
+        qb=np.stack([qb, ks], axis=1).astype(np.int32),  # (T, 2, S)
         lcol=relayout(lcol, np.int32),
         vals=relayout(vals, np.dtype(value_dtype)),
     )
 
 
-def best_plan(ell, row_tiles=(1024, 512, 256, 128),
+def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
               max_ks: int = DEFAULT_MAX_KS,
               max_k128: int = DEFAULT_MAX_K128,
               value_dtype=np.float32) -> EllPlan | None:
-    """Pick the cheapest tile size by the cost model over shared stats,
-    materializing only the winner (smaller tiles narrow the per-slot
-    windows — fewer gather steps — but re-DMA x more often)."""
+    """Pick the cheapest (tile size, rebasing slope) by the cost model over
+    shared stats, materializing only the winner. Slope-1 rebasing keeps
+    quasi-diagonal windows narrow at huge tile sizes (which amortize the
+    per-tile overhead); slope-0 wins when columns don't track rows."""
     S = ell.rowsize
     if S == 0:
         return None
     dd = np.dtype(value_dtype) == np.float64
     vb = 8 if dd else 4
     m = ell.num_columns
-    nx128 = _round_up(max(_round_up(m, 128) // 128, 1), 8)
     stats = _Stats(ell)
-    best_rt, best_cost = None, float("inf")
-    for rt in row_tiles:
-        R = min(rt, max(128, _round_up(ell.padded_rows, 128)))
-        G = R // 128
-        win = _windows(*stats.fold(G), nx128, max_ks, max_k128)
-        if win is None:
-            continue
-        _, K128, _, KS = win
-        T = _round_up(ell.padded_rows, R) // R
-        c = _cost(T, S, G, KS, K128, vb, dd)
-        if c < best_cost:
-            best_rt, best_cost = rt, c
-    if best_rt is None:
+    best_cfg, best_cost = None, float("inf")
+    for slope in (0, 1):
+        for rt in row_tiles:
+            R = min(rt, max(128, _round_up(ell.padded_rows, 128)))
+            G = R // 128
+            extra = (G - 1) if slope else 0
+            nx128 = _round_up(
+                extra + max(_round_up(m, 128) // 128, 1) + extra, 8)
+            fmin, fmax = stats.fold(G, slope)
+            win = _windows(fmin + 128 * extra,
+                           np.where(fmax < 0, fmax, fmax + 128 * extra),
+                           nx128, max_ks, max_k128, extra)
+            if win is None:
+                continue
+            _, K128, _, KS, ks_arr = win
+            # cost with the average per-slot step count (dynamic loop)
+            KS = max(float(ks_arr.mean()), 1.0)
+            T = _round_up(ell.padded_rows, R) // R
+            c = _cost(T, S, G, KS, K128, vb, dd)
+            if c < best_cost:
+                best_cfg, best_cost = (rt, slope), c
+    if best_cfg is None:
         return None
-    return build_plan(ell, row_tile=best_rt, max_ks=max_ks,
-                      max_k128=max_k128, value_dtype=value_dtype,
-                      _stats=stats)
+    rt, slope = best_cfg
+    return build_plan(ell, row_tile=rt, max_ks=max_ks, max_k128=max_k128,
+                      value_dtype=value_dtype, slope=slope, _stats=stats)

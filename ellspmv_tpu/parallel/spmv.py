@@ -368,14 +368,15 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
     T_local = plan.num_tiles // n_dev
     S, G, KS, K128, nx128 = (plan.rowsize, plan.G, plan.KS, plan.K128,
                              plan.nx128)
+    slope = plan.slope
+    lead = plan.lead
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
     m = sm.logical_cols
     interpret = jax.devices()[0].platform != "tpu"
 
     sh = lambda *spec: NamedSharding(mesh, P(*spec))
     wb = jax.device_put(jnp.asarray(plan.wbase128), sh(axis))
-    qb = jax.device_put(jnp.asarray(plan.qb)[:, None, :],
-                        sh(axis, None, None))
+    qb = jax.device_put(jnp.asarray(plan.qb), sh(axis, None, None))
     T = plan.num_tiles
     lcol = jax.device_put(jnp.asarray(plan.lcol.reshape(T, S, G, 128)),
                           sh(axis, None, None, None))
@@ -403,21 +404,21 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             v_blk, start, *rest2 = rest
         *maybe_diag, x_blk, y_blk = rest2
         x_full = jax.lax.all_gather(x_blk, axis, tiled=True)[:m]
-        xp = jnp.pad(x_full, (0, nx128 * 128 - m))
+        xp = jnp.pad(x_full, (lead * 128, nx128 * 128 - lead * 128 - m))
         if dd:
             xh = xp.astype(jnp.float32)
             xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
             yh, yl = ell_pallas._run_dd(
                 wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk,
                 xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                S, G, KS, K128, T_local, interpret)
+                S, G, KS, K128, T_local, slope, interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
         else:
             x2d = xp.astype(jnp.float32).reshape(nx128, 128)
             acc = ell_pallas._run_f32(
                 wb_blk, qb_blk, lcol_blk, v_blk, x2d,
-                S, G, KS, K128, T_local, interpret
+                S, G, KS, K128, T_local, slope, interpret
             ).reshape(-1)[:sm.block].astype(y_blk.dtype)
         if maybe_diag:
             gi = start[0] + jnp.arange(sm.block, dtype=jnp.int32)

@@ -82,7 +82,11 @@ def test_plan_budgets():
     assert p is not None
     assert p.K128 % 8 == 0
     assert p.lcol.min() >= 0 and p.lcol.max() < p.KS * 128
-    assert (p.qb >= 0).all() and (p.qb + p.KS <= p.K128).all()
+    qb, ks = p.qb[:, 0, :], p.qb[:, 1, :]
+    extra = p.G - 1 if p.slope else 0
+    assert (qb >= 0).all() and (qb + p.KS + extra <= p.K128).all()
+    assert (ks >= 1).all() and (ks <= p.KS).all()
+    assert p.wbase128.max() + p.K128 <= p.nx128
     # slot-major relayout round-trip: lcol/vals entry (t, s*G+g, lane)
     # corresponds to original row t*R + g*128 + lane, slot s
     S, G = p.rowsize, p.G
