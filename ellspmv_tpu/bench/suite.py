@@ -45,8 +45,7 @@ def run_suite(quick: bool = False, as_json: bool = False,
                                                power_law)
     from ellspmv_tpu.models.solvers import cg
     from ellspmv_tpu.ops import spmv
-    from ellspmv_tpu.ops.reference import coo_spmv_numpy
-
+    
     scale = 8 if quick else 1
     results = []
 

@@ -269,7 +269,7 @@ def run(argv: list[str], program: str, fmt: str) -> int:
     if opts.precision == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    from ellspmv_tpu.bench.harness import SpmvMetrics, benchmark_spmv
+    from ellspmv_tpu.bench.harness import benchmark_spmv
     from ellspmv_tpu.formats.csr import csr_from_coo
     from ellspmv_tpu.formats.ell import ell_from_coo
     from ellspmv_tpu.io.mtx import read_matrix, read_vector, write_vector

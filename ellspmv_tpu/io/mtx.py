@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
-import io as _io
 import os
 
 import numpy as np
