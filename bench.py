@@ -49,8 +49,8 @@ def main() -> int:
                        row_tile=256).device_put()
     x = np.random.RandomState(1).rand(N_ROWS)
 
-    res = benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv, backend="auto"),
-                         ell, x, repeat=10, warmup=2, protocol="chained")
+    res = benchmark_spmv(None, ell, x, repeat=10, warmup=2,
+                         protocol="chained")
 
     # correctness spot check against the host oracle
     from ellspmv_tpu.ops.reference import ell_spmv_numpy

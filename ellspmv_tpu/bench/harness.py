@@ -146,10 +146,13 @@ def _sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
-def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
-                   warmup: int = 0, protocol: str = "per_iter",
+def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
+                   repeat: int = 1, warmup: int = 0,
+                   protocol: str = "per_iter",
                    device=None, metrics_matrix=None) -> BenchResult:
-    """Benchmark `spmv_fn(matrix, x, y) -> y_new`.
+    """Benchmark `spmv_fn(matrix, x, y) -> y_new`. `spmv_fn=None` uses the
+    library dispatch (and, in the chained protocol, the traceable form that
+    keeps matrix data out of the compiled program's constants).
 
     per_iter: mirrors the reference loop — `warmup` untimed iterations
     (ellspmv.c:1745-1801) then `repeat` timed ones, accumulating into y.
@@ -160,6 +163,9 @@ def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
         matrix if metrics_matrix is None else metrics_matrix)
     hbm_peak = hbm_peak_bytes_per_s(device)
     x = jnp.asarray(x)
+    if spmv_fn is None and protocol == "per_iter":
+        from ellspmv_tpu.ops import spmv as _dispatch
+        spmv_fn = lambda m, xv, yv: _dispatch(m, xv, yv)
     if protocol == "per_iter":
         yk = None if y is None else jnp.asarray(y)
         for _ in range(warmup):
@@ -181,12 +187,20 @@ def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
             getattr(matrix, "values", getattr(matrix, "data", None))).dtype
         scale = jnp.asarray(0.5, val_dtype)
 
+        # Pass the matrix data as jit ARGUMENTS: closing over it inside the
+        # loop would embed the arrays as constants in the compiled program.
+        if spmv_fn is None:
+            from ellspmv_tpu.ops.dispatch import traceable_spmv
+            operand, fn = traceable_spmv(matrix)
+        else:
+            operand, fn = matrix, spmv_fn
+
         def make_loop(iters: int):
             @jax.jit
-            def run(x0, y0):
+            def run(x0, y0, op):
                 def body(_, carry):
                     xk, yk = carry
-                    yn = spmv_fn(matrix, xk, yk)
+                    yn = fn(op, xk, yk)
                     # serial dependency so XLA cannot hoist or overlap
                     return yn * scale, yn
                 return jax.lax.fori_loop(0, iters, body, (x0, y0))
@@ -196,10 +210,10 @@ def benchmark_spmv(spmv_fn: Callable, matrix, x, y=None, repeat: int = 1,
             else jnp.asarray(y)
         lo, hi = max(1, warmup or 2), max(8, repeat)
         run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
-        _sync(run_lo(x, y0)); _sync(run_hi(x, y0))  # compile
-        t0 = time.perf_counter(); _sync(run_lo(x, y0))
+        _sync(run_lo(x, y0, operand)); _sync(run_hi(x, y0, operand))
+        t0 = time.perf_counter(); _sync(run_lo(x, y0, operand))
         t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter(); out = run_hi(x, y0); _sync(out)
+        t0 = time.perf_counter(); out = run_hi(x, y0, operand); _sync(out)
         t_hi = time.perf_counter() - t0
         per_iter = max((t_hi - t_lo) / hi, 1e-12)
         return BenchResult([per_iter] * repeat, metrics, out[1], protocol,

@@ -114,14 +114,20 @@ def main(argv=None) -> int:
         except ValueError as e:
             sys.stderr.write(f"{program}: {e}\n")
             return 1
-        fn = sharded_spmv_fn(sm)
-        matvec = lambda v: fn(sm, v)
-    else:
-        mat = ell.device_put()
-        matvec = lambda v: spmv(mat, v)
+        fn_s = sharded_spmv_fn(sm)
+        matvec = lambda v: fn_s(sm, v)
+        operand = None
 
-    t0 = time.perf_counter()
-    res = cg(matvec, jax.numpy.asarray(b), tol=tol, maxiter=maxiter)
+        t0 = time.perf_counter()
+        res = cg(matvec, jax.numpy.asarray(b), tol=tol, maxiter=maxiter)
+    else:
+        from ellspmv_tpu.ops.dispatch import traceable_spmv
+        mat = ell.device_put()
+        operand, fn = traceable_spmv(mat)
+
+        t0 = time.perf_counter()
+        res = cg(lambda op, v: fn(op, v), jax.numpy.asarray(b), tol=tol,
+                 maxiter=maxiter, operand=operand)
     x = np.asarray(res.x, np.float64)
     dt = time.perf_counter() - t0
     if verbose:

@@ -24,16 +24,11 @@ class CgResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("matvec", "maxiter"))
-def cg(matvec: Callable, b, x0=None, tol: float = 1e-8,
-       maxiter: int = 1000) -> CgResult:
-    """Conjugate gradient for SPD A, fully jittable (`lax.while_loop`).
-
-    `matvec(v) -> A v` may be a single-device kernel or the sharded SpMV;
-    in the sharded case every `jnp.vdot` below becomes a psum over ICI —
-    the entire comm surface of distributed CG (SURVEY §5).
-    """
+def _cg_impl(matvec: Callable, b, x0, operand, tol: float,
+             maxiter: int) -> CgResult:
+    mv = (lambda v: matvec(operand, v)) if operand is not None else matvec
     x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x)
+    r = b - mv(x)
     p = r
     rs = jnp.vdot(r, r)
     tol2 = jnp.asarray(tol, rs.dtype) ** 2 * jnp.vdot(b, b)
@@ -44,7 +39,7 @@ def cg(matvec: Callable, b, x0=None, tol: float = 1e-8,
 
     def body(state):
         x, r, p, rs, k = state
-        ap = matvec(p)
+        ap = mv(p)
         alpha = rs / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
@@ -55,3 +50,20 @@ def cg(matvec: Callable, b, x0=None, tol: float = 1e-8,
     x, r, p, rs, k = jax.lax.while_loop(
         cond, body, (x, r, p, rs, jnp.asarray(0, jnp.int32)))
     return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rs))
+
+
+def cg(matvec: Callable, b, x0=None, tol: float = 1e-8,
+       maxiter: int = 1000, operand=None) -> CgResult:
+    """Conjugate gradient for SPD A, fully jittable (`lax.while_loop`).
+
+    `matvec(v) -> A v` may be a single-device kernel or the sharded SpMV;
+    in the sharded case every `jnp.vdot` below becomes a psum over ICI —
+    the entire comm surface of distributed CG (SURVEY §5).
+
+    For large matrices pass `operand` (a pytree of the matrix data) and a
+    `matvec(operand, v)` so the data enters the compiled solver as jit
+    arguments rather than multi-hundred-MB embedded constants — e.g.
+    `operand, fn = ops.dispatch.traceable_spmv(A)`,
+    `cg(lambda op, v: fn(op, v), b, operand=operand)`.
+    """
+    return _cg_impl(matvec, b, x0, operand, tol, maxiter)

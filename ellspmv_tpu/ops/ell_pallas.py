@@ -263,38 +263,77 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
     )(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l)
 
 
-class DevicePlan:
-    """Plan operands on device + the jitted pre/post glue."""
+import collections
 
-    def __init__(self, ell, plan: plan_mod.EllPlan, dd: bool):
-        self.plan = plan
-        self.dd = dd
-        self.interpret = (jax.devices()[0].platform != "tpu"
-                          or bool(os.environ.get(
-                              "ELLSPMV_TPU_PALLAS_INTERPRET")))
-        T, S, G = plan.num_tiles, plan.rowsize, plan.G
-        self.wbase128 = jnp.asarray(plan.wbase128)              # (T,)
-        self.qb = jnp.asarray(plan.qb)                          # (T,2,S)
-        self.lcol = jnp.asarray(plan.lcol.reshape(T, S, G, 128))
-        if dd:
-            vh = plan.vals.astype(np.float32)
-            vl = (plan.vals - vh.astype(np.float64)).astype(np.float32)
-            self.vals_h = jnp.asarray(vh.reshape(T, S, G, 128))
-            self.vals_l = jnp.asarray(vl.reshape(T, S, G, 128))
+PlanCfg = collections.namedtuple(
+    "PlanCfg", "S G KS K128 T nx128 lead slope dd interpret")
+
+
+class DevicePlan:
+    """Plan operands on device + the jitted pre/post glue.
+
+    Registered as a JAX pytree (arrays are leaves, the static config is aux
+    data) so it can be passed as a jit *argument* — closing over it inside
+    an outer jit would embed the matrix data as constants in the compiled
+    program (multi-hundred-MB HLO for large matrices)."""
+
+    def __init__(self, ell, plan: plan_mod.EllPlan | None, dd: bool,
+                 _leaves=None, _cfg=None):
+        if plan is not None:
+            self.plan = plan
+            interpret = (jax.devices()[0].platform != "tpu"
+                         or bool(os.environ.get(
+                             "ELLSPMV_TPU_PALLAS_INTERPRET")))
+            self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
+                               plan.num_tiles, plan.nx128, plan.lead,
+                               plan.slope, dd, interpret)
+            T, S, G = plan.num_tiles, plan.rowsize, plan.G
+            self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
+            self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
+            self.lcol = jnp.asarray(plan.lcol.reshape(T, S, G, 128))
+            if dd:
+                vh = plan.vals.astype(np.float32)
+                vl = (plan.vals - vh.astype(np.float64)).astype(np.float32)
+                self.vals = (jnp.asarray(vh.reshape(T, S, G, 128)),
+                             jnp.asarray(vl.reshape(T, S, G, 128)))
+            else:
+                self.vals = (jnp.asarray(
+                    plan.vals.astype(np.float32).reshape(T, S, G, 128)),)
         else:
-            self.vals = jnp.asarray(
-                plan.vals.astype(np.float32).reshape(T, S, G, 128))
+            self.plan = None
+            self.cfg = _cfg
+            self.wbase128, self.qb, self.lcol, *vals = _leaves
+            self.vals = tuple(vals)
+
+    @property
+    def dd(self):
+        return self.cfg.dd
+
+    @property
+    def interpret(self):
+        return self.cfg.interpret
 
     def __call__(self, x):
-        p = self.plan
-        if self.dd:
+        c = self.cfg
+        if c.dd:
             return _dd_apply(self.wbase128, self.qb, self.lcol,
-                             self.vals_h, self.vals_l, x,
-                             p.rowsize, p.G, p.KS, p.K128, p.num_tiles,
-                             p.nx128, p.lead, p.slope, self.interpret)
-        return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals, x,
-                          p.rowsize, p.G, p.KS, p.K128, p.num_tiles,
-                          p.nx128, p.lead, p.slope, self.interpret)
+                             self.vals[0], self.vals[1], x,
+                             c.S, c.G, c.KS, c.K128, c.T,
+                             c.nx128, c.lead, c.slope, c.interpret)
+        return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
+                          x, c.S, c.G, c.KS, c.K128, c.T,
+                          c.nx128, c.lead, c.slope, c.interpret)
+
+
+def _dp_flatten(dp):
+    return (dp.wbase128, dp.qb, dp.lcol) + dp.vals, dp.cfg
+
+
+def _dp_unflatten(cfg, leaves):
+    return DevicePlan(None, None, cfg.dd, _leaves=leaves, _cfg=cfg)
+
+
+jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
@@ -328,6 +367,8 @@ def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
 
 def get_plan(ell, **kw):
     """Build (and cache on the EllMatrix) the device plan, or None."""
+    if isinstance(ell.values, jax.core.Tracer):
+        return None      # under trace there is no concrete data to plan on
     cached = getattr(ell, _PLAN_ATTR, None)
     if cached is not None:
         return cached if cached != "unsupported" else None
@@ -344,6 +385,8 @@ def get_plan(ell, **kw):
 
 
 def supported(ell, x) -> bool:
+    if isinstance(ell.values, jax.core.Tracer):
+        return False
     if jax.devices()[0].platform not in ("tpu",):
         return False
     val_dt = np.dtype(np.asarray(ell.values).dtype)

@@ -47,7 +47,12 @@ _VPU_SUBLANE_ROWS_PER_CYCLE = 24.0   # v5e measured ~3 (8,128)-ops/cycle
 # bookkeeping + DMA issue) — punishes very small tiles.
 _TILE_OVERHEAD_CYCLES = 300.0
 
-_I32_BIG = np.int32(np.iinfo(np.int32).max)
+_I32_BIG = np.int32(np.iinfo(np.int32).max)    # empty-min sentinel
+_I32_SMALL = np.int32(np.iinfo(np.int32).min)  # empty-max sentinel
+# slope-1 rebased columns can be legitimately negative (as low as
+# -(G-1)*128), so emptiness needs sentinels far outside any real value
+_EMPTY_MIN = np.int64(1) << 60
+_EMPTY_MAX = -(np.int64(1) << 60)
 
 
 @dataclasses.dataclass
@@ -127,7 +132,7 @@ class _Stats:
                 cols - (np.arange(n128, dtype=np.int32) // 128 * 128)[:, None])
             self.smin[slope] = np.where(real, d, _I32_BIG).reshape(
                 t128, 128, S).min(axis=1)                # (t128, S)
-            self.smax[slope] = np.where(real, d, np.int32(-1)).reshape(
+            self.smax[slope] = np.where(real, d, _I32_SMALL).reshape(
                 t128, 128, S).max(axis=1)
         self.t128 = t128
         self.S = S
@@ -138,18 +143,19 @@ class _Stats:
         base group index added back): (T, S) int64 arrays."""
         t = _round_up(self.t128, G) // G
         smin = np.full((t * G, self.S), _I32_BIG, np.int32)
-        smax = np.full((t * G, self.S), -1, np.int32)
+        smax = np.full((t * G, self.S), _I32_SMALL, np.int32)
         smin[:self.t128] = self.smin[slope]
         smax[:self.t128] = self.smax[slope]
         fmin = smin.reshape(t, G, self.S).astype(np.int64)
         fmax = smax.reshape(t, G, self.S).astype(np.int64)
+        empty_min = fmin == _I32_BIG
+        empty_max = fmax == _I32_SMALL
         if slope == 1:
             base = (np.arange(t, dtype=np.int64) * G * 128)[:, None, None]
-            fmin = np.where(fmin == _I32_BIG, np.int64(1) << 60,
-                            fmin + base)
-            fmax = np.where(fmax < 0, -1, fmax + base)
-            return fmin.min(axis=1), fmax.max(axis=1)
-        fmin = np.where(fmin == _I32_BIG, np.int64(1) << 60, fmin)
+            fmin = fmin + base
+            fmax = fmax + base
+        fmin = np.where(empty_min, _EMPTY_MIN, fmin)
+        fmax = np.where(empty_max, _EMPTY_MAX, fmax)
         return fmin.min(axis=1), fmax.max(axis=1)
 
 
@@ -160,7 +166,7 @@ def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0):
     past the sub-window base."""
     tile_min = smin.min(axis=1)
     tile_max = smax.max(axis=1)
-    empty = tile_max < 0
+    empty = tile_max <= _EMPTY_MAX // 2
     tile_min = np.where(empty, 0, tile_min)
     tile_max = np.where(empty, 0, tile_max)
 
@@ -176,7 +182,7 @@ def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0):
     # hardware fault, not an error).
     wbase128 = np.minimum(wbase128, max(nx128 - K128, 0))
 
-    slot_empty = smax < 0
+    slot_empty = smax <= _EMPTY_MAX // 2
     smin64 = np.where(slot_empty, wbase128[:, None] << 7, smin)
     smax64 = np.where(slot_empty, wbase128[:, None] << 7, smax)
     qb = np.maximum((smin64 >> 7) - wbase128[:, None], 0)
@@ -218,9 +224,9 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
 
     stats = _stats if _stats is not None else _Stats(ell)
     fmin, fmax = stats.fold(G, slope)
-    win = _windows(fmin + 128 * lead, np.where(fmax < 0, fmax,
-                                               fmax + 128 * lead),
-                   nx128, max_ks, max_k128, extra)
+    fmin = np.where(fmin >= _EMPTY_MIN // 2, fmin, fmin + 128 * lead)
+    fmax = np.where(fmax <= _EMPTY_MAX // 2, fmax, fmax + 128 * lead)
+    win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra)
     if win is None:
         return None
     wbase128, K128, qb, KS, ks = win
@@ -286,9 +292,11 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
             nx128 = _round_up(
                 extra + max(_round_up(m, 128) // 128, 1) + extra, 8)
             fmin, fmax = stats.fold(G, slope)
-            win = _windows(fmin + 128 * extra,
-                           np.where(fmax < 0, fmax, fmax + 128 * extra),
-                           nx128, max_ks, max_k128, extra)
+            fmin = np.where(fmin >= _EMPTY_MIN // 2, fmin,
+                            fmin + 128 * extra)
+            fmax = np.where(fmax <= _EMPTY_MAX // 2, fmax,
+                            fmax + 128 * extra)
+            win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra)
             if win is None:
                 continue
             _, K128, _, KS, ks_arr = win

@@ -312,9 +312,10 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
                        in_specs=in_specs, out_specs=P(axis),
                        check_vma=False)
 
+    # matrix arrays travel as jit parameters, not compiled-in constants
     @jax.jit
-    def fn_physical(x_phys, y_phys):
-        return mapped(*args, x_phys, y_phys)
+    def fn_physical(x_phys, y_phys, *op):
+        return mapped(*op, x_phys, y_phys)
 
     def fn(_sm, x, y=None):
         x_phys = sm.to_physical_x(jnp.asarray(x, val_dt))
@@ -324,7 +325,7 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
             y_phys = y                       # already physical (bench loop)
         else:
             y_phys = sm.to_physical_y(jnp.asarray(y, val_dt))
-        out_phys = fn_physical(x_phys, y_phys)
+        out_phys = fn_physical(x_phys, y_phys, *args)
         return sm.from_physical_y(out_phys)
 
     return fn
@@ -434,8 +435,8 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
         ((base.diag,) if has_diag else ())
 
     @jax.jit
-    def fn_physical(x_phys, y_phys):
-        return mapped(*args, x_phys, y_phys)
+    def fn_physical(x_phys, y_phys, *op):
+        return mapped(*op, x_phys, y_phys)
 
     def fn(_sm, x, y=None):
         x_phys = sm.to_physical_x(jnp.asarray(x, val_dt))
@@ -445,6 +446,6 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             y_phys = y
         else:
             y_phys = sm.to_physical_y(jnp.asarray(y, val_dt))
-        return sm.from_physical_y(fn_physical(x_phys, y_phys))
+        return sm.from_physical_y(fn_physical(x_phys, y_phys, *args))
 
     return fn

@@ -111,3 +111,31 @@ def test_zero_value_entries_do_not_widen_window():
     ell2 = ell_from_coo(coo2, sort_rows=True, value_dtype=np.float32)
     p2 = plan_mod.build_plan(ell2)
     assert p2.K128 == p_ref.K128
+
+
+def test_slope1_negative_rebased_columns():
+    """Regression: slope-1 rebased columns are negative for entries left of
+    their 128-row group (banded matrices); the empty-slot sentinel must not
+    swallow them (it did: per-slot ks came out 1 and entries were skipped,
+    producing ~0.3 relative error on hardware)."""
+    from ellspmv_tpu.models.generators import banded_random
+    from ellspmv_tpu.ops.ell_pallas import DevicePlan
+    coo = banded_random(60_000, 16, 512, seed=0)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float32)
+    p = plan_mod.build_plan(ell, row_tile=8192, slope=1,
+                            value_dtype=np.float32)
+    assert p is not None and p.G == 64
+    # invariant: every real entry's gather step is within its slot's ks
+    lcol = p.lcol.reshape(p.num_tiles, p.rowsize, p.G, 128).astype(np.int64)
+    ks = p.qb[:, 1, :].astype(np.int64)
+    vals = np.zeros((p.n_pad, p.rowsize))
+    vals[:ell.padded_rows] = np.asarray(ell.values)
+    real = (vals != 0).reshape(p.num_tiles, p.G, 128,
+                               p.rowsize).transpose(0, 3, 1, 2)
+    assert int((real & ((lcol >> 7) >= ks[:, :, None, None])).sum()) == 0
+    dp = DevicePlan(ell, p, dd=False)
+    x = np.random.RandomState(1).rand(ell.num_columns).astype(np.float32)
+    got = np.asarray(dp(x), np.float64)[:ell.num_rows]
+    want = ell_spmv_numpy(ell, x.astype(np.float64))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5 * scale)
