@@ -433,6 +433,10 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             return 1
     if opts.papi_event_summary:
         _metrics_report(res, opts, log)
+    if opts.papi_event_per_thread and opts.devices > 1:
+        # per-device breakdown (the papi per-thread rows analogue,
+        # papi_util.c:692-712): static work split by the row partition
+        _per_device_report(res, sharded, opts, log)
 
     # Phase 6: write y to stdout (ellspmv.c:1898-1912)
     if not opts.quiet:
@@ -490,3 +494,24 @@ def _metrics_report(res, opts, log):
     log.write(f"  HBM roofline: {res.hbm_peak / 1e9:.1f} GB/s peak -> "
               f"{100 * res.roofline_fraction():.1f}% of peak "
               "(min-bytes model)\n")
+
+
+def _per_device_report(res, sharded, opts, log):
+    rows = sharded.workload_report()
+    m = res.metrics
+    total_nnz = max(sum(int(r.split()[2]) for r in rows[1:]), 1)
+    if opts.papi_event_format == "csv":
+        log.write("device,rows,nonzeros,flops_share,gnz_per_s_share\n")
+        for line in rows[1:]:
+            d, r, nnz = line.split()
+            frac = int(nnz) / total_nnz
+            log.write(f"{d},{r},{nnz},{int(m.num_flops * frac)},"
+                      f"{res.gnz_per_s() * frac:.3f}\n")
+        return
+    log.write("Per-device workload (static partition):\n")
+    log.write("  " + rows[0] + "   flops/iter\n")
+    for line in rows[1:]:
+        d, r, nnz = line.split()
+        frac = int(nnz) / total_nnz
+        log.write(f"  {d:<7s} {r:<10s} {nnz:<10s} "
+                  f"{int(m.num_flops * frac)}\n")

@@ -223,3 +223,22 @@ def test_reorder_rejects_rectangular(mtx_file, capsys):
     rc = ellspmv.main(["--reorder=rcm", mtx_file])
     assert rc == 1
     assert "square" in capsys.readouterr().err
+
+
+def test_per_device_metrics_rows(mtx_file, capsys):
+    rc, _, err = run_cli(csrspmv.main,
+                         ["-q", "--devices=4", "--papi-event-per-thread",
+                          mtx_file], capsys)
+    assert rc == 0
+    assert "Per-device workload" in err
+    rc, _, err = run_cli(csrspmv.main,
+                         ["-q", "--devices=4", "--papi-event-per-thread",
+                          "--papi-event-format=csv", mtx_file], capsys)
+    assert rc == 0 and "device,rows,nonzeros" in err
+
+
+def test_bundled_example_matrix(capsys):
+    rc, out, _ = run_cli(ellspmv.main, ["examples/test.mtx"], capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=1e-14)
