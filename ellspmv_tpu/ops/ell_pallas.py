@@ -143,6 +143,8 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
         acc_l = jnp.zeros((G, 128), jnp.float32) if dd else None
         for s in range(S):
             idx = lcol_ref[0, s]
+            if idx.dtype != jnp.int32:
+                idx = idx.astype(jnp.int32)   # int16 storage, i32 compute
             q = jax.lax.shift_right_logical(idx, jnp.int32(7))
             lane = jax.lax.bitwise_and(idx, jnp.int32(127))
             qb = qb_ref[0, 0, s]

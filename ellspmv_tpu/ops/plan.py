@@ -258,12 +258,19 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
             a.reshape(num_tiles, G, 128, S).transpose(0, 3, 1, 2)
         ).reshape(num_tiles, S * G, 128).astype(dt, copy=False)
 
+    # int16 local columns when they fit: 25% less index traffic for f32
+    # (validated on hardware; disable with ELLSPMV_TPU_LCOL16=0)
+    import os
+    lcol_dt = np.int16 if (KS * 128 <= np.iinfo(np.int16).max
+                           and os.environ.get("ELLSPMV_TPU_LCOL16", "1")
+                           != "0") else np.int32
+
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,
         n_pad=n_pad, nx128=nx128, lead=lead, slope=slope,
         wbase128=wbase128.astype(np.int32),
         qb=np.stack([qb, ks], axis=1).astype(np.int32),  # (T, 2, S)
-        lcol=relayout(lcol, np.int32),
+        lcol=relayout(lcol, lcol_dt),
         vals=relayout(vals, np.dtype(value_dtype)),
     )
 
