@@ -98,7 +98,7 @@ def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l):
 
 
 def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
-                 slope: int = 0):
+                 slope: int = 0, unroll: bool = False):
     """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
     slot selection indexes a leading (untiled) dim; the x window is
     double-buffered through a (2, K128, W) scratch."""
@@ -168,15 +168,27 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     h = jnp.where(hit, _lane_gather(op(xw, k), lane), h)
                     lo = jnp.where(hit, _lane_gather(op(xwl, k), lane), lo)
                     return h, lo
-                xg_h, xg_l = jax.lax.fori_loop(
-                    0, ks, body, (jnp.zeros((G, 128), jnp.float32),
-                                  jnp.zeros((G, 128), jnp.float32)))
+                init = (jnp.zeros((G, 128), jnp.float32),
+                        jnp.zeros((G, 128), jnp.float32))
+                if unroll:
+                    # static unroll over the global KS: cheap when KS is
+                    # small; dead steps are select-no-ops
+                    xg_h, xg_l = init
+                    for k in range(KS):
+                        xg_h, xg_l = body(jnp.int32(k), (xg_h, xg_l))
+                else:
+                    xg_h, xg_l = jax.lax.fori_loop(0, ks, body, init)
             else:
                 def body(k, xg):
                     return jnp.where(q == k, _lane_gather(op(xw, k), lane),
                                      xg)
-                xg = jax.lax.fori_loop(
-                    0, ks, body, jnp.zeros((G, 128), jnp.float32))
+                if unroll:
+                    xg = jnp.zeros((G, 128), jnp.float32)
+                    for k in range(KS):
+                        xg = body(jnp.int32(k), xg)
+                else:
+                    xg = jax.lax.fori_loop(
+                        0, ks, body, jnp.zeros((G, 128), jnp.float32))
             if dd:
                 acc, acc_l = _dd_fma(acc, acc_l, vh_ref[0, s], vl_ref[0, s],
                                      xg_h, xg_l)
@@ -215,9 +227,9 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "interpret"))
+                                    "unroll", "interpret"))
 def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
-             interpret=False):
+             unroll=False, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 2, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -230,7 +242,8 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, T, dd=False, slope=slope),
+        _make_kernel(S, G, KS, K128, T, dd=False, slope=slope,
+                     unroll=unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
@@ -239,9 +252,9 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "interpret"))
+                                    "unroll", "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
-            S, G, KS, K128, T, slope=0, interpret=False):
+            S, G, KS, K128, T, slope=0, unroll=False, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -257,7 +270,8 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(S, G, KS, K128, T, dd=True, slope=slope),
+        _make_kernel(S, G, KS, K128, T, dd=True, slope=slope,
+                     unroll=unroll),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
@@ -268,7 +282,7 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
 import collections
 
 PlanCfg = collections.namedtuple(
-    "PlanCfg", "S G KS K128 T nx128 lead slope dd interpret")
+    "PlanCfg", "S G KS K128 T nx128 lead slope dd unroll interpret")
 
 
 class DevicePlan:
@@ -286,9 +300,11 @@ class DevicePlan:
             interpret = (jax.devices()[0].platform != "tpu"
                          or bool(os.environ.get(
                              "ELLSPMV_TPU_PALLAS_INTERPRET")))
+            unroll = plan.KS <= int(os.environ.get(
+                "ELLSPMV_TPU_UNROLL_KS", "6"))
             self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
                                plan.num_tiles, plan.nx128, plan.lead,
-                               plan.slope, dd, interpret)
+                               plan.slope, dd, unroll, interpret)
             T, S, G = plan.num_tiles, plan.rowsize, plan.G
             self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
             self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
@@ -321,10 +337,11 @@ class DevicePlan:
             return _dd_apply(self.wbase128, self.qb, self.lcol,
                              self.vals[0], self.vals[1], x,
                              c.S, c.G, c.KS, c.K128, c.T,
-                             c.nx128, c.lead, c.slope, c.interpret)
+                             c.nx128, c.lead, c.slope, c.unroll,
+                             c.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
                           x, c.S, c.G, c.KS, c.K128, c.T,
-                          c.nx128, c.lead, c.slope, c.interpret)
+                          c.nx128, c.lead, c.slope, c.unroll, c.interpret)
 
 
 def _dp_flatten(dp):
@@ -340,29 +357,29 @@ jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "interpret"))
+                                             "unroll", "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
-               lead=0, slope=0, interpret=False):
+               lead=0, slope=0, unroll=False, interpret=False):
     x = x.astype(jnp.float32)
     x2d = jnp.pad(x, (lead * 128,
                       nx128 * 128 - lead * 128 - x.shape[0])
                   ).reshape(nx128, 128)
     y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope,
-                 interpret)
+                 unroll, interpret)
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "interpret"))
+                                             "unroll", "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
-              nx128, lead=0, slope=0, interpret=False):
+              nx128, lead=0, slope=0, unroll=False, interpret=False):
     xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                     S, G, KS, K128, T, slope, interpret)
+                     S, G, KS, K128, T, slope, unroll, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
 
