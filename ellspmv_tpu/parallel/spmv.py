@@ -368,7 +368,7 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
                              plan.nx128)
     slope = plan.slope
     lead = plan.lead
-    unroll = plan.KS <= 6
+    unroll = plan.KS <= 16
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
     m = sm.logical_cols
     interpret = jax.devices()[0].platform != "tpu"
