@@ -83,6 +83,15 @@ def _two_prod(a, b):
     return p, err
 
 
+def _two_prod_fma(a, b):
+    """two_prod when the compiler contracts a*b-p into a fused
+    multiply-add (single rounding): the residual IS the exact error.
+    Only used after `fma_contraction_available()` verified exactness
+    on this backend."""
+    p = a * b
+    return p, a * b - p
+
+
 def _dd_add(xh, xl, yh, yl):
     s, e = _two_sum(xh, yh)
     e = e + xl + yl
@@ -90,15 +99,52 @@ def _dd_add(xh, xl, yh, yl):
     return hi, e - (hi - s)
 
 
-def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l):
+def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l, fast=False):
     """(acc) += (a) * (x) in double-double."""
-    ph, pl_ = _two_prod(a_h, x_h)
+    ph, pl_ = (_two_prod_fma if fast else _two_prod)(a_h, x_h)
     pl_ = pl_ + a_h * x_l + a_l * x_h
     return _dd_add(acc_h, acc_l, ph, pl_)
 
 
+_FMA_PROBE = {"result": None}
+
+
+def fma_contraction_available() -> bool:
+    """Probe whether this backend contracts `a*b - p` to a fused FMA with
+    single rounding inside Pallas kernels, by comparing the residual
+    against the exact two_prod error for random f32 pairs. Cached."""
+    if _FMA_PROBE["result"] is not None:
+        return _FMA_PROBE["result"]
+    if jax.devices()[0].platform != "tpu":
+        _FMA_PROBE["result"] = False
+        return False
+    try:
+        rng = np.random.RandomState(0)
+        a = rng.uniform(0.5, 2.0, (8, 128)).astype(np.float32)
+        b = rng.uniform(0.5, 2.0, (8, 128)).astype(np.float32)
+
+        def k(a_ref, b_ref, o_ref):
+            p = a_ref[:] * b_ref[:]
+            o_ref[:] = a_ref[:] * b_ref[:] - p
+
+        got = np.asarray(pl.pallas_call(
+            k,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(
+                jnp.asarray(a), jnp.asarray(b)))
+        exact = (a.astype(np.float64) * b.astype(np.float64)
+                 - (a * b).astype(np.float64)).astype(np.float32)
+        ok = bool(np.array_equal(got, exact) and np.any(exact != 0))
+    except Exception:
+        ok = False
+    _FMA_PROBE["result"] = ok
+    return ok
+
+
 def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
-                 slope: int = 0, unroll: bool = False):
+                 slope: int = 0, unroll: bool = False,
+                 fastdd: bool = False):
     """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
     slot selection indexes a leading (untiled) dim; the x window is
     double-buffered through a (2, K128, W) scratch."""
@@ -191,7 +237,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                         0, ks, body, jnp.zeros((G, 128), jnp.float32))
             if dd:
                 acc, acc_l = _dd_fma(acc, acc_l, vh_ref[0, s], vl_ref[0, s],
-                                     xg_h, xg_l)
+                                     xg_h, xg_l, fast=fastdd)
             else:
                 acc = acc + v_ref[0, s] * xg
         if dd:
@@ -252,9 +298,10 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "unroll", "interpret"))
+                                    "unroll", "fastdd", "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
-            S, G, KS, K128, T, slope=0, unroll=False, interpret=False):
+            S, G, KS, K128, T, slope=0, unroll=False, fastdd=False,
+            interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -271,7 +318,7 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
     )
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=True, slope=slope,
-                     unroll=unroll),
+                     unroll=unroll, fastdd=fastdd),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
@@ -282,7 +329,7 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
 import collections
 
 PlanCfg = collections.namedtuple(
-    "PlanCfg", "S G KS K128 T nx128 lead slope dd unroll interpret")
+    "PlanCfg", "S G KS K128 T nx128 lead slope dd unroll fastdd interpret")
 
 
 class DevicePlan:
@@ -304,9 +351,12 @@ class DevicePlan:
             # loop up to KS=9 on v5e (scalar loop overhead dominates)
             unroll = plan.KS <= int(os.environ.get(
                 "ELLSPMV_TPU_UNROLL_KS", "16"))
+            fastdd = bool(dd and os.environ.get(
+                "ELLSPMV_TPU_FASTDD", "1") != "0"
+                and fma_contraction_available())
             self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
                                plan.num_tiles, plan.nx128, plan.lead,
-                               plan.slope, dd, unroll, interpret)
+                               plan.slope, dd, unroll, fastdd, interpret)
             T, S, G = plan.num_tiles, plan.rowsize, plan.G
             self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
             self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
@@ -339,7 +389,7 @@ class DevicePlan:
             return _dd_apply(self.wbase128, self.qb, self.lcol,
                              self.vals[0], self.vals[1], x,
                              c.S, c.G, c.KS, c.K128, c.T,
-                             c.nx128, c.lead, c.slope, c.unroll,
+                             c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
                              c.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
                           x, c.S, c.G, c.KS, c.K128, c.T,
@@ -373,15 +423,17 @@ def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "unroll", "interpret"))
+                                             "unroll", "fastdd",
+                                             "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
-              nx128, lead=0, slope=0, unroll=False, interpret=False):
+              nx128, lead=0, slope=0, unroll=False, fastdd=False,
+              interpret=False):
     xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                     S, G, KS, K128, T, slope, unroll, interpret)
+                     S, G, KS, K128, T, slope, unroll, fastdd, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
 

@@ -410,7 +410,8 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             yh, yl = ell_pallas._run_dd(
                 wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk,
                 xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                S, G, KS, K128, T_local, slope, unroll, interpret)
+                S, G, KS, K128, T_local, slope, unroll,
+                ell_pallas.fma_contraction_available(), interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
         else:
