@@ -26,6 +26,7 @@ TPU-first divergences:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -117,20 +118,39 @@ def ell_from_coo(coo, separate_diagonal: bool = False,
     values = np.zeros((n_pad, rowsize), val_dt)
 
     if coo.num_nonzeros and rowsize:
-        # Scatter pass. Order by (row [, col]) — one lexsort subsumes both the
-        # reference's per-row fill cursor (ellspmv.c:1097-1107) and rowsort.
-        if sort_rows:
-            order = np.lexsort((coo.colidx, coo.rowidx))
-        else:
-            order = np.argsort(coo.rowidx, kind="stable")
-        r = coo.rowidx[order]
-        rowptr = np.zeros(n + 1, dtype=np.int64)
-        rowptr[1:] = np.cumsum(counts)
-        slot = np.arange(len(r), dtype=np.int64) - rowptr[r]
-        colidx[r, slot] = coo.colidx[order].astype(idx_dt)
-        # Duplicate (row, col) entries occupy separate slots, as in the
-        # reference (each COO triplet gets its own ELL slot).
-        values[r, slot] = coo.values[order].astype(val_dt)
+        packed = False
+        if (idx_dt == np.dtype(np.int32)
+                and not os.environ.get("ELLSPMV_TPU_NO_NATIVE")):
+            # Native counting-sort packer (~10x the NumPy path on big
+            # matrices; the reference converts in parallel C,
+            # ellspmv.c:1081-1127).
+            from ellspmv_tpu.io import native
+            if native.available():
+                try:
+                    pc, pv = native.ell_pack(n, m, n_pad, rowsize,
+                                             coo.rowidx, coo.colidx,
+                                             coo.values, sort_rows)
+                    colidx = pc
+                    values = pv.astype(val_dt, copy=False)
+                    packed = True
+                except native.NativeUnsupported:
+                    pass
+        if not packed:
+            # Scatter pass. Order by (row [, col]) — one lexsort subsumes
+            # both the reference's per-row fill cursor (ellspmv.c:1097-1107)
+            # and rowsort.
+            if sort_rows:
+                order = np.lexsort((coo.colidx, coo.rowidx))
+            else:
+                order = np.argsort(coo.rowidx, kind="stable")
+            r = coo.rowidx[order]
+            rowptr = np.zeros(n + 1, dtype=np.int64)
+            rowptr[1:] = np.cumsum(counts)
+            slot = np.arange(len(r), dtype=np.int64) - rowptr[r]
+            colidx[r, slot] = coo.colidx[order].astype(idx_dt)
+            # Duplicate (row, col) entries occupy separate slots, as in the
+            # reference (each COO triplet gets its own ELL slot).
+            values[r, slot] = coo.values[order].astype(val_dt)
 
     if diag is not None:
         d = np.zeros(n_pad, val_dt)

@@ -127,3 +127,59 @@ def read_matrix(path: str, gzipped: bool | None = None,
                          values=values, symmetry=symmetry, field=field)
     finally:
         lib.mtxio_free(res)
+
+
+class _EllPackResult(ctypes.Structure):
+    _fields_ = [
+        ("colidx", ctypes.POINTER(ctypes.c_int32)),
+        ("values", ctypes.POINTER(ctypes.c_double)),
+        ("error", ctypes.c_char_p),
+    ]
+
+
+def _bind_ell_pack(lib):
+    if getattr(lib, "_ell_pack_bound", False):
+        return
+    lib.mtxio_ell_pack.restype = ctypes.POINTER(_EllPackResult)
+    lib.mtxio_ell_pack.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+    ]
+    lib.mtxio_ell_pack_free.restype = None
+    lib.mtxio_ell_pack_free.argtypes = [ctypes.POINTER(_EllPackResult)]
+    lib._ell_pack_bound = True
+
+
+def ell_pack(num_rows, num_cols, n_pad, rowsize, rowidx, colidx, values,
+             sort_rows):
+    """Native COO->ELL packing core; returns (colidx (n_pad, rowsize) int32,
+    values (n_pad, rowsize) float64) or raises NativeUnsupported."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native library not built")
+    _bind_ell_pack(lib)
+    rowidx = np.ascontiguousarray(rowidx, np.int32)
+    colidx = np.ascontiguousarray(colidx, np.int32)
+    values = np.ascontiguousarray(values, np.float64)
+    res = lib.mtxio_ell_pack(
+        int(num_rows), int(num_cols), int(n_pad), int(rowsize),
+        len(rowidx),
+        rowidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        colidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 
+        1 if sort_rows else 0)
+    if not res:
+        raise NativeUnsupported("ell_pack returned null")
+    try:
+        r = res.contents
+        if r.error:
+            raise ValueError(r.error.decode())
+        shape = (int(n_pad), int(rowsize))
+        n_el = shape[0] * shape[1]
+        out_c = np.ctypeslib.as_array(r.colidx, shape=(n_el,)).copy()
+        out_v = np.ctypeslib.as_array(r.values, shape=(n_el,)).copy()
+        return out_c.reshape(shape), out_v.reshape(shape)
+    finally:
+        lib.mtxio_ell_pack_free(res)

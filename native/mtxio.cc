@@ -347,3 +347,96 @@ void mtxio_free(MtxResult* r) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// COO -> ELLPACK packing (ell_from_coo's hot core, ellspmv.c:1081-1127,
+// re-done as a counting-sort scatter + per-row insertion sort by column).
+// The NumPy path (lexsort + fancy-index scatter) takes ~10 s for 32M
+// entries; this single pass runs at memcpy-like speed. Inputs are the
+// (already symmetric-expanded, diagonal-split) COO triplets with int32
+// indices; outputs are the padded (n_pad x rowsize) ELL arrays.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct EllPackResult {
+  int32_t* colidx = nullptr;   // (n_pad * rowsize)
+  double* values = nullptr;    // (n_pad * rowsize)
+  const char* error = nullptr;
+};
+
+EllPackResult* mtxio_ell_pack(int64_t num_rows, int64_t num_cols,
+                              int64_t n_pad, int64_t rowsize, int64_t nnz,
+                              const int32_t* rowidx, const int32_t* colidx,
+                              const double* values, int32_t sort_rows) {
+  auto* r = new EllPackResult();
+  auto fail = [&](const char* msg) {
+    free(r->colidx);
+    free(r->values);
+    r->colidx = nullptr;
+    r->values = nullptr;
+    r->error = strdup(msg);
+    return r;
+  };
+  if (n_pad < num_rows || rowsize < 0) return fail("bad dimensions");
+  size_t slots = (size_t)n_pad * (size_t)rowsize;
+  r->colidx = (int32_t*)malloc(sizeof(int32_t) * (slots ? slots : 1));
+  r->values = (double*)malloc(sizeof(double) * (slots ? slots : 1));
+  if (!r->colidx || !r->values) return fail("out of memory");
+
+  // padding: column min(i, num_cols-1), value 0 (ellspmv.c:1111-1117)
+  const int32_t cmax = (int32_t)(num_cols > 0 ? num_cols - 1 : 0);
+  for (int64_t i = 0; i < n_pad; i++) {
+    int32_t pad = (int32_t)(i < cmax ? i : cmax);
+    int32_t* crow = r->colidx + (size_t)i * rowsize;
+    double* vrow = r->values + (size_t)i * rowsize;
+    for (int64_t s = 0; s < rowsize; s++) {
+      crow[s] = pad;
+      vrow[s] = 0.0;
+    }
+  }
+
+  // counting-sort scatter: entries keep file order within a row
+  std::vector<int32_t> cursor((size_t)num_rows, 0);
+  for (int64_t e = 0; e < nnz; e++) {
+    int64_t row = rowidx[e];
+    if (row < 0 || row >= num_rows) return fail("row index out of range");
+    int32_t c = cursor[row]++;
+    if (c >= rowsize) return fail("row overflows rowsize");
+    r->colidx[(size_t)row * rowsize + c] = colidx[e];
+    r->values[(size_t)row * rowsize + c] = values[e];
+  }
+
+  if (sort_rows) {
+    // per-row insertion sort by column (rowsort, ellspmv.c:960-1079;
+    // rows are short so insertion sort is the right tool here)
+    for (int64_t i = 0; i < num_rows; i++) {
+      int32_t cnt = cursor[i];
+      int32_t* crow = r->colidx + (size_t)i * rowsize;
+      double* vrow = r->values + (size_t)i * rowsize;
+      for (int32_t j = 1; j < cnt; j++) {
+        int32_t cj = crow[j];
+        double vj = vrow[j];
+        int32_t k = j - 1;
+        while (k >= 0 && crow[k] > cj) {
+          crow[k + 1] = crow[k];
+          vrow[k + 1] = vrow[k];
+          k--;
+        }
+        crow[k + 1] = cj;
+        vrow[k + 1] = vj;
+      }
+    }
+  }
+  return r;
+}
+
+void mtxio_ell_pack_free(EllPackResult* r) {
+  if (!r) return;
+  free(r->colidx);
+  free(r->values);
+  free((void*)r->error);
+  delete r;
+}
+
+}  // extern "C"
