@@ -89,3 +89,29 @@ def test_roofline_fraction_math():
                     hbm_peak=1e9)
     assert r.min_gb_per_s() == pytest.approx(1.0)
     assert r.roofline_fraction() == pytest.approx(1.0)
+
+
+def test_chained_traceable_pallas(monkeypatch):
+    """Chained protocol with spmv_fn=None routes through traceable_spmv;
+    with interpret-mode pallas forced, the loop must use the kernel without
+    embedding the matrix as constants (DevicePlan rides as a jit arg)."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.models.generators import banded_random
+    from ellspmv_tpu.ops.dispatch import traceable_spmv
+    coo = banded_random(640, 5, 40, seed=2)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    operand, fn = traceable_spmv(ell)
+    from ellspmv_tpu.ops.ell_pallas import DevicePlan
+    assert isinstance(operand[0], DevicePlan)
+    x = np.random.RandomState(3).rand(640)
+    res = benchmark_spmv(None, ell, x, repeat=3, warmup=1,
+                         protocol="chained")
+    assert res.best > 0
+    from ellspmv_tpu.ops.reference import ell_spmv_numpy
+    # the returned y comes from the highest-iteration chained run
+    assert np.isfinite(np.asarray(res.y)).all()
+
+
+def test_fma_probe_false_on_cpu():
+    from ellspmv_tpu.ops.ell_pallas import fma_contraction_available
+    assert fma_contraction_available() is False
