@@ -46,6 +46,20 @@ _VPU_SUBLANE_ROWS_PER_CYCLE = 24.0   # v5e measured ~3 (8,128)-ops/cycle
 # Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
 # bookkeeping + DMA issue) — punishes very small tiles.
 _TILE_OVERHEAD_CYCLES = 300.0
+# Scoped VMEM budget for a kernel instance (v5e exposes ~16 MiB; leave
+# headroom for Mosaic's own staging).
+VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def _vmem_bytes(S, G, KS, K128, dd, lcol16=True):
+    # Estimated per-kernel VMEM: double-buffered lcol/vals tiles (the
+    # Pallas pipeline), the double-buffered x windows, and y tiles.
+    tile = S * G * 128
+    lcol = tile * (2 if lcol16 else 4) * 2
+    vals = tile * 4 * 2 * (2 if dd else 1)
+    xw = 2 * K128 * 128 * 4 * (2 if dd else 1)
+    y = G * 128 * 4 * 2 * (2 if dd else 1)
+    return lcol + vals + xw + y
 
 _I32_BIG = np.int32(np.iinfo(np.int32).max)    # empty-min sentinel
 _I32_SMALL = np.int32(np.iinfo(np.int32).min)  # empty-max sentinel
@@ -230,6 +244,9 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     if win is None:
         return None
     wbase128, K128, qb, KS, ks = win
+    if _vmem_bytes(S, G, KS, K128,
+                   np.dtype(value_dtype) == np.float64) > VMEM_BUDGET_BYTES:
+        return None
 
     cols = np.zeros((n_pad, S), np.int64)
     cols[:n_pad_in] = np.asarray(ell.colidx)
@@ -307,6 +324,8 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
             if win is None:
                 continue
             _, K128, _, KS, ks_arr = win
+            if _vmem_bytes(S, G, KS, K128, dd) > VMEM_BUDGET_BYTES:
+                continue
             # cost with the average per-slot step count (dynamic loop)
             KS = max(float(ks_arr.mean()), 1.0)
             T = _round_up(ell.padded_rows, R) // R
