@@ -191,7 +191,14 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
         # loop would embed the arrays as constants in the compiled program.
         if spmv_fn is None:
             from ellspmv_tpu.ops.dispatch import traceable_spmv
-            operand, fn = traceable_spmv(matrix)
+            try:
+                operand, fn = traceable_spmv(matrix)
+            except TypeError:
+                # no traceable form (e.g. the SELL hybrid): fall back to a
+                # closure — fine for small/medium matrices
+                from ellspmv_tpu.ops import spmv as _dispatch
+                operand, fn = matrix, (lambda m, xv, yv:
+                                       _dispatch(m, xv, yv))
         else:
             operand, fn = matrix, spmv_fn
 

@@ -25,9 +25,10 @@ import numpy as np
 
 def _bench(matrix, x, repeat, protocol="chained"):
     from ellspmv_tpu.bench.harness import benchmark_spmv
-    from ellspmv_tpu.ops import spmv
 
-    return benchmark_spmv(lambda m, xv, yv: spmv(m, xv, yv), matrix, x,
+    # spmv_fn=None -> library dispatch in traceable form (Pallas kernels
+    # ride as jit arguments inside the timing loop)
+    return benchmark_spmv(None, matrix, x,
                           repeat=repeat, warmup=2, protocol=protocol)
 
 
