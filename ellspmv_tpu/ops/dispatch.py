@@ -31,9 +31,16 @@ def spmv(matrix, x, y=None, backend: str = "auto"):
         from ellspmv_tpu.ops.ell_xla import ell_spmv_xla
         return ell_spmv_xla(matrix, x, y)
     if isinstance(matrix, CsrMatrix):
-        if backend == "pallas":
-            from ellspmv_tpu.ops import csr_pallas
-            return csr_pallas.csr_spmv_pallas(matrix, x, y)
+        if backend in ("auto", "pallas"):
+            # On TPU the XLA segment-sum scatter is ~100x off; route
+            # through the sliced-ELL repack whose buckets use the Pallas
+            # kernel (csrgemvnz's different-schedule idea, csrspmv.c:1681).
+            import jax as _jax
+            if backend == "pallas" or (
+                    _jax.devices()[0].platform == "tpu"
+                    and not isinstance(matrix.values, _jax.core.Tracer)):
+                from ellspmv_tpu.ops import csr_pallas
+                return csr_pallas.csr_spmv_pallas(matrix, x, y)
         from ellspmv_tpu.ops.csr_xla import csr_spmv_xla
         return csr_spmv_xla(matrix, x, y)
     raise TypeError(f"unsupported matrix type {type(matrix)}")
@@ -73,6 +80,50 @@ def traceable_spmv(matrix, backend: str = "auto"):
         if backend == "pallas":
             raise ValueError("pallas backend unsupported for this "
                              "matrix/platform")
+    if isinstance(matrix, SellMatrix):
+        import numpy as _np
+
+        subs = [traceable_spmv(b, backend=backend) for b in matrix.buckets]
+        sub_fns = [f for _, f in subs]
+        order = jnp.asarray(_np.asarray(matrix.order))
+        R = matrix.slice_rows
+        n = matrix.num_rows
+
+        def fn(op, x, y=None):
+            sub_ops, tail, order_ = op
+            parts = [f(o, x, None).reshape(-1, R)
+                     for f, o in zip(sub_fns, sub_ops)]
+            tiles = jnp.concatenate(parts, axis=0)
+            out = tiles[order_].reshape(-1)[:n]
+            if tail is not None:
+                from ellspmv_tpu.ops.csr_xla import csr_spmv_xla
+                out = csr_spmv_xla(tail, x, out)
+            if y is not None:
+                out = out + y.astype(out.dtype)
+            return out
+
+        return ([o for o, _ in subs], matrix.tail, order), fn
+    if isinstance(matrix, CsrMatrix):
+        import jax as _jax
+        if backend in ("auto", "pallas") and (
+                backend == "pallas"
+                or _jax.devices()[0].platform == "tpu"):
+            from ellspmv_tpu.ops.csr_pallas import _to_sell
+            sm = _to_sell(matrix)
+            op, fn0 = traceable_spmv(sm, backend=backend)
+            diag = None if matrix.diag is None                 else jnp.asarray(matrix.diag)
+            k = min(matrix.num_rows, matrix.num_columns)
+
+            def fn(op_, x, y=None):
+                o, d = op_
+                out = fn0(o, x, None)
+                if d is not None:
+                    out = out.at[:k].add(d[:k] * x.astype(out.dtype)[:k])
+                if y is not None:
+                    out = out + y.astype(out.dtype)
+                return out
+
+            return (op, diag), fn
     # XLA paths: the matrix containers are pytrees already
     if isinstance(matrix, (EllMatrix, CsrMatrix, DiaMatrix)):
         return matrix, lambda m, x, y=None: spmv(m, x, y, backend="xla")

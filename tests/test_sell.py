@@ -81,3 +81,16 @@ def test_csr_pallas_path(rng):
     y0 = rng.randn(600)
     got = np.asarray(csr_spmv_pallas(csr, x, y0))
     assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
+
+
+def test_traceable_sell(rng, monkeypatch):
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.ops.dispatch import traceable_spmv
+    coo = random_coo(rng, 512, 512, 2500, with_dups=True)
+    sm = sell_from_coo(coo, slice_rows=128,
+                       value_dtype=np.float64).device_put()
+    op, fn = traceable_spmv(sm)
+    x = rng.randn(512)
+    import jax
+    got = np.asarray(jax.jit(lambda o, xv: fn(o, xv))(op, np.asarray(x)))
+    assert_fp64_close(got, coo_spmv_numpy(coo, x))
