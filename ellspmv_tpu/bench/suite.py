@@ -88,9 +88,10 @@ def run_suite(quick: bool = False, as_json: bool = False,
     x = np.random.RandomState(0).rand(coo.num_rows)
     ell = ell_from_coo(coo, sort_rows=True,
                        value_dtype=np.float64).device_put()
-    record(f"config1 poisson {nx}x{nx} ELL f64", _bench(ell, x, 5))
+    record(f"config1 poisson {nx}x{nx} ELL f64", _bench(ell, x, 16))
     dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
-    record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 5),
+    # DIA is so fast the slope needs many iterations to resolve
+    record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 256),
            note="gather-free")
 
     # --- config 2: banded FEM stand-in -----------------------------------
