@@ -218,11 +218,15 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
         lo, hi = max(1, warmup or 2), max(8, repeat)
         run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
         _sync(run_lo(x, y0, operand)); _sync(run_hi(x, y0, operand))
-        t0 = time.perf_counter(); _sync(run_lo(x, y0, operand))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter(); out = run_hi(x, y0, operand); _sync(out)
-        t_hi = time.perf_counter() - t0
-        per_iter = max((t_hi - t_lo) / hi, 1e-12)
+        per_iter = float("inf")
+        out = None
+        for _ in range(3):   # best of 3 slope pairs (dispatch jitter)
+            t0 = time.perf_counter(); _sync(run_lo(x, y0, operand))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter(); out = run_hi(x, y0, operand)
+            _sync(out)
+            t_hi = time.perf_counter() - t0
+            per_iter = min(per_iter, max((t_hi - t_lo) / hi, 1e-12))
         return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
                            hbm_peak)
 
