@@ -64,13 +64,15 @@ def traceable_spmv(matrix, backend: str = "auto"):
             if dp is not None:
                 n, m = matrix.num_rows, matrix.num_columns
                 val_dt = jnp.asarray(matrix.values).dtype
-                diag = None if matrix.diag is None                     else jnp.asarray(matrix.diag)[:n]
-                xi = None if diag is None                     else jnp.minimum(jnp.arange(n), max(m - 1, 0))
+                diag = (None if matrix.diag is None
+                        else jnp.asarray(matrix.diag)[:n])
 
                 def fn(op, x, y=None):
                     dp_, diag_ = op
                     out = dp_(x)[:n].astype(val_dt)
                     if diag_ is not None:
+                        # index built under trace, not an n-sized constant
+                        xi = jnp.minimum(jnp.arange(n), max(m - 1, 0))
                         out = out + diag_ * x.astype(val_dt)[xi]
                     if y is not None:
                         out = out + y.astype(val_dt)
@@ -111,7 +113,8 @@ def traceable_spmv(matrix, backend: str = "auto"):
             from ellspmv_tpu.ops.csr_pallas import _to_sell
             sm = _to_sell(matrix)
             op, fn0 = traceable_spmv(sm, backend=backend)
-            diag = None if matrix.diag is None                 else jnp.asarray(matrix.diag)
+            diag = (None if matrix.diag is None
+                    else jnp.asarray(matrix.diag))
             k = min(matrix.num_rows, matrix.num_columns)
 
             def fn(op_, x, y=None):
