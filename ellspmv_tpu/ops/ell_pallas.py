@@ -458,8 +458,18 @@ def get_plan(ell, **kw):
         return cached if cached != "unsupported" else None
     val_dt = np.dtype(np.asarray(ell.values).dtype)
     dd = val_dt == np.float64
-    plan = plan_mod.best_plan(
-        ell, value_dtype=np.float64 if dd else np.float32, **kw)
+    vdt = np.float64 if dd else np.float32
+    plan = plan_mod.best_plan(ell, value_dtype=vdt, **kw)
+    # offset-bucketed slot reassignment can shrink the windows when rows
+    # are partially filled (stencil boundaries, FEM surfaces)
+    ell2 = plan_mod.rebucket_slots(ell)
+    if ell2 is not ell:
+        plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
+        if plan2 is not None and (
+                plan is None
+                or plan_mod.estimate_cycles(plan2, 8 if dd else 4, dd)
+                < plan_mod.estimate_cycles(plan, 8 if dd else 4, dd)):
+            plan = plan2
     if plan is None:
         object.__setattr__(ell, _PLAN_ATTR, "unsupported")
         return None

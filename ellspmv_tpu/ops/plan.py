@@ -337,3 +337,64 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
     rt, slope = best_cfg
     return build_plan(ell, row_tile=rt, max_ks=max_ks, max_k128=max_k128,
                       value_dtype=value_dtype, slope=slope, _stats=stats)
+
+
+def rebucket_slots(ell):
+    """Reassign each row's entries to ELL slots by column-offset bucket.
+
+    With rank-ordered slots (--sort-rows), a slot mixes different diagonals
+    whenever a row is missing earlier entries (e.g. stencil boundary rows),
+    inflating the slot's window span across a tile. Bucketing by quantiles
+    of the offset distribution (col - row) re-aligns partial rows with the
+    full rows' diagonals: each real entry moves to the slot whose offset
+    bucket it belongs to (kept strictly increasing per row; padding fills
+    the leftover slots). Full rows are unchanged (the map is a per-row
+    permutation). Returns a re-slotted EllMatrix copy, or the input if
+    nothing moves.
+    """
+    from ellspmv_tpu.formats.ell import EllMatrix
+
+    S = ell.rowsize
+    if S <= 1 or ell.num_rows != ell.num_columns:
+        return ell
+    cols = np.asarray(ell.colidx)
+    vals = np.asarray(ell.values)
+    n_pad = cols.shape[0]
+    real = vals != 0
+    cnt = real.sum(axis=1)
+    if (cnt >= S - 0).all():          # all rows full: permutation is identity
+        return ell
+    rows = np.arange(n_pad, dtype=np.int64)[:, None]
+    offs = cols.astype(np.int64) - rows
+    sample = offs[real]
+    if sample.size == 0:
+        return ell
+    if sample.size > 1_000_000:
+        sample = sample[:: sample.size // 1_000_000]
+    bounds = np.quantile(sample, np.arange(1, S) / S)
+    ideal = np.searchsorted(bounds, offs, side="left").astype(np.int64)
+    # real entries are column-sorted per row -> ideal is non-decreasing on
+    # them; make strictly increasing, clamp into [pos, pos + S - cnt]
+    pos = np.arange(S, dtype=np.int64)[None, :]
+    ideal = np.where(real, ideal, S - 1)
+    slot = np.maximum.accumulate(ideal - pos, axis=1) + pos
+    # rank of the entry among the row's REAL entries
+    rank = np.cumsum(real, axis=1) - 1
+    slot = np.minimum(slot, rank + (S - cnt[:, None]))   # leave room right
+    slot = np.maximum(slot, rank)                        # and left
+    slot = np.where(real, slot, -1)
+    if (slot[real] == pos.repeat(n_pad, 0)[real]).all():
+        return ell
+
+    new_cols = np.asarray(ell.colidx).copy()
+    new_vals = vals.copy()
+    # padding defaults everywhere, then scatter the real entries
+    pad_col = np.minimum(np.arange(n_pad), max(ell.num_columns - 1, 0))
+    new_cols[:] = pad_col[:, None]
+    new_vals[:] = 0
+    rr = np.nonzero(real)
+    new_cols[rr[0], slot[rr]] = cols[rr]
+    new_vals[rr[0], slot[rr]] = vals[rr]
+    return EllMatrix(colidx=new_cols, values=new_vals, diag=ell.diag,
+                     num_rows=ell.num_rows, num_columns=ell.num_columns,
+                     num_nonzeros=ell.num_nonzeros)

@@ -139,3 +139,33 @@ def test_slope1_negative_rebased_columns():
     want = ell_spmv_numpy(ell, x.astype(np.float64))
     scale = np.max(np.abs(want))
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5 * scale)
+
+
+def test_rebucket_slots_preserves_semantics_and_narrows():
+    """Offset bucketing: a stencil with boundary rows keeps identical SpMV
+    results while per-slot spans shrink (boundary rows re-align to the
+    interior rows' diagonals)."""
+    from ellspmv_tpu.ops.plan import rebucket_slots, _Stats
+    coo = poisson2d(48)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    ell2 = rebucket_slots(ell)
+    assert ell2 is not ell
+    x = np.random.RandomState(0).rand(ell.num_columns)
+    from tests.conftest import assert_fp64_close
+    assert_fp64_close(ell_spmv_numpy(ell2, x), ell_spmv_numpy(ell, x))
+    s1, s2 = _Stats(ell), _Stats(ell2)
+    span1 = (s1.smax[1].astype(np.int64) - s1.smin[1]).clip(0).max()
+    span2 = (s2.smax[1].astype(np.int64) - s2.smin[1]).clip(0).max()
+    assert span2 < span1
+
+
+def test_rebucket_banded_random():
+    """Partially-full random-banded rows: results agree to summation-order
+    ulp noise (entries are permuted within their rows)."""
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    from tests.conftest import assert_fp64_close
+    coo = banded_random(2048, 8, 64, seed=4)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    ell2 = rebucket_slots(ell)
+    x = np.random.RandomState(1).rand(ell.num_columns)
+    assert_fp64_close(ell_spmv_numpy(ell2, x), ell_spmv_numpy(ell, x))
