@@ -359,6 +359,7 @@ def run(argv: list[str], program: str, fmt: str) -> int:
                 sys.stderr.write(
                     f"{program}: {opts.y_path}: expected vector of length "
                     f"{mat.num_rows}, got {len(y)}\n")
+                return 1
             y = y.astype(opts.precision)
         else:
             y = None                        # zeros (ellspmv.c:1610-1613)

@@ -242,3 +242,12 @@ def test_bundled_example_matrix(capsys):
     assert rc == 0
     y = read_vector(io.BytesIO(out.encode()))
     np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=1e-14)
+
+
+def test_wrong_y_length(mtx_file, tmp_path, capsys):
+    yp = str(tmp_path / "y.mtx")
+    write_vector(yp, np.ones(7))
+    xp = str(tmp_path / "x.mtx")
+    write_vector(xp, np.ones(5))
+    rc, _, err = run_cli(ellspmv.main, [mtx_file, xp, yp], capsys)
+    assert rc == 1 and "expected vector of length 4" in err
