@@ -369,10 +369,22 @@ def rebucket_slots(ell):
     sample = offs[real]
     if sample.size == 0:
         return ell
-    if sample.size > 1_000_000:
-        sample = sample[:: sample.size // 1_000_000]
-    bounds = np.quantile(sample, np.arange(1, S) / S)
-    ideal = np.searchsorted(bounds, offs, side="left").astype(np.int64)
+    if sample.size > 4_000_000:
+        sample = sample[:: sample.size // 4_000_000]
+    uniq, counts = np.unique(sample, return_counts=True)
+    if len(uniq) <= S:
+        # few distinct diagonals (stencils): one slot per diagonal, exact
+        ideal = np.searchsorted(uniq, offs).astype(np.int64)
+        ideal = np.minimum(ideal, S - 1)
+    else:
+        # mass-balanced cuts on the discrete offset distribution
+        # (np.quantile interpolation misplaces boundaries when a few
+        # offsets carry most of the mass)
+        cum = np.cumsum(counts)
+        cuts = np.searchsorted(cum, cum[-1] * np.arange(1, S) // S,
+                               side="left")
+        bounds = uniq[np.minimum(cuts + 1, len(uniq) - 1)]
+        ideal = np.searchsorted(bounds, offs, side="left").astype(np.int64)
     # real entries are column-sorted per row -> ideal is non-decreasing on
     # them; make strictly increasing, clamp into [pos, pos + S - cnt]
     pos = np.arange(S, dtype=np.int64)[None, :]
