@@ -111,7 +111,11 @@ def _cost(T, S, G, KS, K128, value_bytes, dd) -> float:
 
 
 def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
-    return _cost(plan.num_tiles, plan.rowsize, plan.G, plan.KS, plan.K128,
+    # use the mean per-slot gather count: the kernel's unrolled loop does
+    # issue KS steps, but selects on empty steps retire faster; the mean
+    # ranks layouts (e.g. rebucketed vs rank slots) more faithfully
+    ks_mean = float(plan.qb[:, 1, :].mean()) if plan.qb.size else plan.KS
+    return _cost(plan.num_tiles, plan.rowsize, plan.G, ks_mean, plan.K128,
                  value_bytes, dd)
 
 
