@@ -88,7 +88,7 @@ def run_suite(quick: bool = False, as_json: bool = False,
     x = np.random.RandomState(0).rand(coo.num_rows)
     ell = ell_from_coo(coo, sort_rows=True,
                        value_dtype=np.float64).device_put()
-    record(f"config1 poisson {nx}x{nx} ELL f64", _bench(ell, x, 16))
+    record(f"config1 poisson {nx}x{nx} ELL f64", _bench(ell, x, 128))
     dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
     # DIA is so fast the slope needs many iterations to resolve
     record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 256),
@@ -100,10 +100,10 @@ def run_suite(quick: bool = False, as_json: bool = False,
     x = np.random.RandomState(1).rand(n)
     ell = ell_from_coo(coo, sort_rows=True,
                        value_dtype=np.float64).device_put()
-    record("config2 banded 16/row ELL f64", _bench(ell, x, 5))
+    record("config2 banded 16/row ELL f64", _bench(ell, x, 32))
     csr = csr_from_coo(coo, sort_rows=True,
                        value_dtype=np.float64).device_put()
-    record("config2 banded 16/row CSR f64", _bench(csr, x, 3),
+    record("config2 banded 16/row CSR f64", _bench(csr, x, 32),
            note="segment-sum")
 
     # --- config 3: power-law hybrid --------------------------------------
