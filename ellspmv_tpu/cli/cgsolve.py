@@ -122,12 +122,22 @@ def main(argv=None) -> int:
         res = cg(matvec, jax.numpy.asarray(b), tol=tol, maxiter=maxiter)
     else:
         from ellspmv_tpu.ops.dispatch import traceable_spmv
+        from ellspmv_tpu.ops.ell_pallas import DevicePlan
         mat = ell.device_put()
         operand, fn = traceable_spmv(mat)
-
+        dd_plan = (isinstance(operand, tuple)
+                   and isinstance(operand[0], DevicePlan)
+                   and operand[0].dd and operand[1] is None
+                   and precision == "float64")
         t0 = time.perf_counter()
-        res = cg(lambda op, v: fn(op, v), jax.numpy.asarray(b), tol=tol,
-                 maxiter=maxiter, operand=operand)
+        if dd_plan:
+            # double-double-vector CG: every loop op at f32 speed
+            from ellspmv_tpu.models.solvers import cg_dd
+            res = cg_dd(operand[0], jax.numpy.asarray(b), tol=tol,
+                        maxiter=maxiter)
+        else:
+            res = cg(lambda op, v: fn(op, v), jax.numpy.asarray(b),
+                     tol=tol, maxiter=maxiter, operand=operand)
     x = np.asarray(res.x, np.float64)
     dt = time.perf_counter() - t0
     if verbose:

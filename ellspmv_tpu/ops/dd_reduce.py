@@ -101,3 +101,26 @@ def dd_vdot(x, y):
     interpret = (jax.devices()[0].platform != "tpu"
                  or bool(os.environ.get("ELLSPMV_TPU_PALLAS_INTERPRET")))
     return _dd_vdot_impl(x, y, n_pad, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "interpret"))
+def _dd_vdot_split_impl(xh, xl, yh, yl, n_pad, interpret=False):
+    def pad(v):
+        return jnp.pad(v, (0, n_pad - v.shape[0]))
+    T = n_pad // _CHUNK
+    shape = (T, 8, 128)
+    oh, ol = _run_dot(pad(xh).reshape(shape), pad(xl).reshape(shape),
+                      pad(yh).reshape(shape), pad(yl).reshape(shape),
+                      T, interpret)
+    return (jnp.sum(oh.astype(jnp.float64))
+            + jnp.sum(ol.astype(jnp.float64)))
+
+
+def dd_vdot_split(xh, xl, yh, yl):
+    """fp64 dot product of pre-split (hi, lo) f32 vector pairs."""
+    import os
+    n = xh.shape[0]
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    interpret = (jax.devices()[0].platform != "tpu"
+                 or bool(os.environ.get("ELLSPMV_TPU_PALLAS_INTERPRET")))
+    return _dd_vdot_split_impl(xh, xl, yh, yl, n_pad, interpret)

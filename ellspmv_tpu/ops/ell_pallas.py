@@ -399,6 +399,18 @@ class DevicePlan:
                           x, c.S, c.G, c.KS, c.K128, c.T,
                           c.nx128, c.lead, c.slope, c.unroll, c.interpret)
 
+    def apply_pair(self, xh, xl):
+        """fp64 SpMV on pre-split (hi, lo) f32 vectors, returning the
+        (hi, lo) pair — no emulated-f64 boundary crossings (for dd-vector
+        solvers)."""
+        c = self.cfg
+        assert c.dd, "apply_pair is the fp64 (double-double) path"
+        return _dd_apply_pair(self.wbase128, self.qb, self.lcol,
+                              self.vals[0], self.vals[1], xh, xl,
+                              c.S, c.G, c.KS, c.K128, c.T,
+                              c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
+                              c.interpret)
+
 
 def _dp_flatten(dp):
     return (dp.wbase128, dp.qb, dp.lcol) + dp.vals, dp.cfg
@@ -440,6 +452,21 @@ def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
                      S, G, KS, K128, T, slope, unroll, fastdd, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
+
+
+@functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
+                                             "nx128", "lead", "slope",
+                                             "unroll", "fastdd",
+                                             "interpret"))
+def _dd_apply_pair(wbase128, qb, lcol, vals_h, vals_l, xh, xl,
+                   S, G, KS, K128, T, nx128, lead=0, slope=0, unroll=False,
+                   fastdd=False, interpret=False):
+    pad = (lead * 128, nx128 * 128 - lead * 128 - xh.shape[0])
+    yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
+                     jnp.pad(xh, pad).reshape(nx128, 128),
+                     jnp.pad(xl, pad).reshape(nx128, 128),
+                     S, G, KS, K128, T, slope, unroll, fastdd, interpret)
+    return yh.reshape(-1), yl.reshape(-1)
 
 
 def get_plan(ell, **kw):
