@@ -74,6 +74,18 @@ class SpmvMetrics:
                            + csrsize * sv + diagsize * sv),
                 max_bytes=(n * sv + csrsize * sv + n * si + csrsize * si
                            + csrsize * sv + diagsize * sv + diagsize * sv))
+        from ellspmv_tpu.formats.hybrid import HybridMatrix
+        if isinstance(matrix, HybridMatrix):
+            sv = np.dtype(matrix.values.dtype).itemsize
+            n, m = matrix.num_rows, matrix.num_columns
+            work = (matrix.rest.sellsize + matrix.rest.tailsize
+                    + (0 if matrix.hub is None
+                       else matrix.hub.sellsize + matrix.hub.tailsize))
+            return SpmvMetrics(
+                num_nonzeros=matrix.num_nonzeros,
+                num_flops=2 * work,
+                min_bytes=n * sv + m * sv + work * (4 + sv),
+                max_bytes=n * sv + work * (4 + 2 * sv))
         from ellspmv_tpu.formats.sell import SellMatrix
         if isinstance(matrix, SellMatrix):
             sv = np.dtype(matrix.values.dtype).itemsize

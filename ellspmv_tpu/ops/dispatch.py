@@ -6,6 +6,7 @@ from __future__ import annotations
 from ellspmv_tpu.formats.csr import CsrMatrix
 from ellspmv_tpu.formats.dia import DiaMatrix, dia_spmv
 from ellspmv_tpu.formats.ell import EllMatrix
+from ellspmv_tpu.formats.hybrid import HybridMatrix, hybrid_spmv
 from ellspmv_tpu.formats.sell import SellMatrix, sell_spmv
 
 
@@ -20,6 +21,8 @@ def spmv(matrix, x, y=None, backend: str = "auto"):
         return dia_spmv(matrix, x, y)   # gather-free; XLA streams it
     if isinstance(matrix, SellMatrix):
         return sell_spmv(matrix, x, y, backend=backend)
+    if isinstance(matrix, HybridMatrix):
+        return hybrid_spmv(matrix, x, y, backend=backend)
     if isinstance(matrix, EllMatrix):
         if backend in ("auto", "pallas"):
             from ellspmv_tpu.ops import ell_pallas
@@ -82,6 +85,26 @@ def traceable_spmv(matrix, backend: str = "auto"):
         if backend == "pallas":
             raise ValueError("pallas backend unsupported for this "
                              "matrix/platform")
+    if isinstance(matrix, HybridMatrix):
+        hub_pair = (None if matrix.hub is None
+                    else traceable_spmv(matrix.hub, backend=backend))
+        rest_op, rest_fn = traceable_spmv(matrix.rest, backend=backend)
+        hub_cols = (None if matrix.hub_cols is None
+                    else jnp.asarray(matrix.hub_cols))
+
+        def fn(op, x, y=None):
+            hub_op, rest_op_, cols = op
+            out = None
+            if hub_op is not None:
+                xh = jnp.take(x, cols, axis=0)
+                out = hub_pair[1](hub_op, xh, None)
+            out = rest_fn(rest_op_, x, out)
+            if y is not None:
+                out = out + y.astype(out.dtype)
+            return out
+
+        return ((None if hub_pair is None else hub_pair[0]), rest_op,
+                hub_cols), fn
     if isinstance(matrix, SellMatrix):
         import numpy as _np
 
