@@ -64,7 +64,8 @@ class HybridMatrix:
 
 def hybrid_from_coo(coo: CooMatrix, hub_width: int | None = None,
                     min_hub_fraction: float = 0.15,
-                    slice_rows: int = 1024, tail_cap: int = 64,
+                    slice_rows: int = 1024, tail_cap: int = 2048,
+                    length_sort: bool = True,
                     sort_rows: bool = True, value_dtype=None,
                     index_dtype=None) -> HybridMatrix:
     """Split off the top-`hub_width` columns by degree (auto-sized by
@@ -74,6 +75,7 @@ def hybrid_from_coo(coo: CooMatrix, hub_width: int | None = None,
     n, m = coo.num_rows, coo.num_columns
     nnz = coo.num_nonzeros
     sell_kw = dict(slice_rows=slice_rows, tail_cap=tail_cap,
+                   length_sort=length_sort,
                    sort_rows=sort_rows, value_dtype=value_dtype,
                    index_dtype=index_dtype)
 

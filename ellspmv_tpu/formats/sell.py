@@ -44,6 +44,10 @@ class SellMatrix:
     num_rows: int
     num_columns: int
     num_nonzeros: int
+    # SELL-sigma: rows sorted by length before slicing so each slice is
+    # uniform (row_unperm maps sorted y back to natural order); None when
+    # length sorting is off.
+    row_unperm: Optional[np.ndarray] = None
 
     @property
     def sellsize(self) -> int:
@@ -65,17 +69,38 @@ class SellMatrix:
             [b.device_put(value_dtype) for b in self.buckets],
             jnp.asarray(np.asarray(self.order)), self.slice_rows,
             None if self.tail is None else self.tail.device_put(value_dtype),
-            self.num_rows, self.num_columns, self.num_nonzeros)
+            self.num_rows, self.num_columns, self.num_nonzeros,
+            None if self.row_unperm is None
+            else jnp.asarray(np.asarray(self.row_unperm)))
 
 
 def sell_from_coo(coo: CooMatrix, slice_rows: int = 1024,
                   tail_cap: int = 64, sort_rows: bool = True,
+                  length_sort: bool = False,
                   value_dtype=None, index_dtype=None) -> SellMatrix:
-    """Convert COO to the bucketed sliced-ELL + CSR-tail hybrid."""
+    """Convert COO to the bucketed sliced-ELL + CSR-tail hybrid.
+
+    `length_sort=True` is SELL-sigma: rows are permuted by descending
+    nonzero count before slicing, so slices are length-uniform — long rows
+    land together in wide buckets (evaluated as scatter-free row sums)
+    instead of spilling into the CSR tail, whose segment-sum scatter is the
+    slowest primitive on TPU. y is un-permuted on output (one n-sized
+    gather)."""
     coo = coo.expand_symmetry()
     n, m = coo.num_rows, coo.num_columns
     nnz_total = coo.num_nonzeros
     R = slice_rows
+
+    row_unperm = None
+    if length_sort and n:
+        cnt0 = np.bincount(coo.rowidx, minlength=n)
+        perm = np.argsort(-cnt0, kind="stable")      # old row at position k
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        coo = CooMatrix(n, m, inv[coo.rowidx].astype(coo.rowidx.dtype),
+                        coo.colidx, coo.values)
+        row_unperm = inv                              # y_nat = y_sorted[inv]
+
     n_pad = max(_round_up(n, R), R)
     T = n_pad // R
 
@@ -129,7 +154,7 @@ def sell_from_coo(coo: CooMatrix, slice_rows: int = 1024,
                                     row_tile=R, rowsize=S))
     return SellMatrix(buckets=buckets, order=concat_pos, slice_rows=R,
                       tail=tail, num_rows=n, num_columns=m,
-                      num_nonzeros=nnz_total)
+                      num_nonzeros=nnz_total, row_unperm=row_unperm)
 
 
 def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
@@ -151,6 +176,8 @@ def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
     out = y2d.reshape(-1)[:sm.num_rows]
     if sm.tail is not None:
         out = csr_spmv_xla(sm.tail, x, out)
+    if sm.row_unperm is not None:                    # SELL-sigma un-permute
+        out = out[jnp.asarray(np.asarray(sm.row_unperm))]
     if y is not None:
         out = out + jnp.asarray(y).astype(out.dtype)
     return out

