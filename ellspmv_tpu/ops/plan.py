@@ -224,7 +224,10 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     """Build a kernel plan at one tile size and rebasing slope, or None if
     over budget."""
     S = ell.rowsize
-    if S == 0:
+    if S == 0 or S > 128:
+        # the kernel unrolls its slot loop: very wide rows would blow up
+        # compile time (and such buckets come from skewed matrices whose
+        # columns defeat the windows anyway) — XLA row-sum handles them
         return None
     n_pad_in = ell.padded_rows
     m = ell.num_columns
