@@ -107,14 +107,19 @@ def run_suite(quick: bool = False, as_json: bool = False,
            note="segment-sum")
 
     # --- config 3: power-law hybrid --------------------------------------
+    from ellspmv_tpu.formats.hybrid import hybrid_from_coo
     n = 1_000_000 // scale
     coo = power_law(n, 8, seed=0)
     x = np.random.RandomState(2).rand(n)
-    sell = sell_from_coo(coo, value_dtype=np.float64).device_put()
+    hyb = hybrid_from_coo(coo, value_dtype=np.float64).device_put()
     ell_pad = ell_from_coo(coo, value_dtype=np.float64)
-    note = (f"sell {sell.sellsize + sell.tailsize:,} slots vs ELL "
-            f"{ell_pad.ellsize:,}")
-    record("config3 power-law SELL f64", _bench(sell, x, 3), note=note)
+    work = (hyb.rest.sellsize + hyb.rest.tailsize
+            + (0 if hyb.hub is None
+               else hyb.hub.sellsize + hyb.hub.tailsize))
+    note = (f"hub {100 * hyb.hub_nnz_fraction:.0f}%, {work:,} slots vs "
+            f"padded ELL {ell_pad.ellsize:,}")
+    record("config3 power-law hub-hybrid f64", _bench(hyb, x, 3),
+           note=note)
 
     # --- config 4: sharded SpMV + CG -------------------------------------
     import jax as _jax
