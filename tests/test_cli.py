@@ -251,3 +251,11 @@ def test_wrong_y_length(mtx_file, tmp_path, capsys):
     write_vector(xp, np.ones(5))
     rc, _, err = run_cli(ellspmv.main, [mtx_file, xp, yp], capsys)
     assert rc == 1 and "expected vector of length 4" in err
+
+
+def test_bfloat16_precision(mtx_file, capsys):
+    rc, out, _ = run_cli(ellspmv.main, ["--precision=bfloat16", mtx_file],
+                         capsys)
+    assert rc == 0
+    y = read_vector(io.BytesIO(out.encode()))
+    np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=0.02)  # bf16 ~2-3 digits
