@@ -227,18 +227,28 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
 
         y0 = jnp.zeros(matrix.num_rows, val_dtype) if y is None \
             else jnp.asarray(y)
+
+        def measure(lo, hi):
+            run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
+            _sync(run_lo(x, y0, operand)); _sync(run_hi(x, y0, operand))
+            per_iter, out = float("inf"), None
+            for _ in range(3):   # best of 3 slope pairs (dispatch jitter)
+                t0 = time.perf_counter(); _sync(run_lo(x, y0, operand))
+                t_lo = time.perf_counter() - t0
+                t0 = time.perf_counter(); out = run_hi(x, y0, operand)
+                _sync(out)
+                t_hi = time.perf_counter() - t0
+                per_iter = min(per_iter, max((t_hi - t_lo) / hi, 1e-12))
+            return per_iter, out
+
         lo, hi = max(1, warmup or 2), max(8, repeat)
-        run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
-        _sync(run_lo(x, y0, operand)); _sync(run_hi(x, y0, operand))
-        per_iter = float("inf")
-        out = None
-        for _ in range(3):   # best of 3 slope pairs (dispatch jitter)
-            t0 = time.perf_counter(); _sync(run_lo(x, y0, operand))
-            t_lo = time.perf_counter() - t0
-            t0 = time.perf_counter(); out = run_hi(x, y0, operand)
-            _sync(out)
-            t_hi = time.perf_counter() - t0
-            per_iter = min(per_iter, max((t_hi - t_lo) / hi, 1e-12))
+        per_iter, out = measure(lo, hi)
+        # sub-resolution kernels: rescale so the measured span dwarfs the
+        # ~ms dispatch jitter of the remote tunnel
+        if per_iter * hi < 0.02:
+            hi2 = min(int(0.05 / max(per_iter, 1e-7)), 20000)
+            if hi2 > 2 * hi:
+                per_iter, out = measure(lo, hi2)
         return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
                            hbm_peak)
 
