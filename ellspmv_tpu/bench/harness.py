@@ -197,7 +197,10 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
                              "(x is re-derived from y each iteration)")
         val_dtype = np.asarray(
             getattr(matrix, "values", getattr(matrix, "data", None))).dtype
-        scale = jnp.asarray(0.5, val_dtype)
+        # small enough that ||A||*scale < 1 for any realistic matrix: the
+        # chained y would otherwise grow by (scale*||A||)^k and overflow in
+        # long adaptive runs (values don't affect TPU timing)
+        scale = jnp.asarray(1e-6, val_dtype)
 
         # Pass the matrix data as jit ARGUMENTS: closing over it inside the
         # loop would embed the arrays as constants in the compiled program.
@@ -246,7 +249,7 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
         # sub-resolution kernels: rescale so the measured span dwarfs the
         # ~ms dispatch jitter of the remote tunnel
         if per_iter * hi < 0.02:
-            hi2 = min(int(0.05 / max(per_iter, 1e-7)), 20000)
+            hi2 = min(int(0.05 / max(per_iter, 1e-7)), 5000)
             if hi2 > 2 * hi:
                 per_iter, out = measure(lo, hi2)
         return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
