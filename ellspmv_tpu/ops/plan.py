@@ -229,6 +229,8 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
         # compile time (and such buckets come from skewed matrices whose
         # columns defeat the windows anyway) — XLA row-sum handles them
         return None
+    if ell.num_columns > np.iinfo(np.int32).max:
+        return None   # stats/lcol use int32 column arithmetic
     n_pad_in = ell.padded_rows
     m = ell.num_columns
     R = min(row_tile, max(128, _round_up(n_pad_in, 128)))
@@ -308,7 +310,7 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
     quasi-diagonal windows narrow at huge tile sizes (which amortize the
     per-tile overhead); slope-0 wins when columns don't track rows."""
     S = ell.rowsize
-    if S == 0:
+    if S == 0 or ell.num_columns > np.iinfo(np.int32).max:
         return None
     dd = np.dtype(value_dtype) == np.float64
     vb = 8 if dd else 4
