@@ -148,10 +148,12 @@ def fma_contraction_available() -> bool:
 
 def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                  slope: int = 0, unroll: bool = False,
-                 fastdd: bool = False):
+                 fastdd: bool = False, static: bool = False):
     """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
     slot selection indexes a leading (untiled) dim; the x window is
-    double-buffered through a (2, K128, W) scratch."""
+    double-buffered through a (2, K128, W) scratch — or, for static
+    (resident-x) plans, the whole padded x image is DMA'd once into a
+    single (K128, W) scratch at grid step 0 and reused by every tile."""
 
     def kernel(wb_ref, qb_ref, lcol_ref, *rest):
         if dd:
@@ -160,8 +162,11 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
         else:
             v_ref, x_ref, y_ref, xw, sem = rest
         i = pl.program_id(0)
-        slot = jax.lax.rem(i, jnp.int32(2))
-        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        if static:
+            slot = nxt = jnp.int32(0)
+        else:
+            slot = jax.lax.rem(i, jnp.int32(2))
+            nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         sbase = slot * jnp.int32(K128)
 
         def dmas(buf, tile):
@@ -176,18 +181,29 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             return (pltpu.make_async_copy(x_ref.at[src], xw.at[dst],
                                           sem.at[buf]),)
 
-        @pl.when(i == 0)
-        def _():
+        if static:
+            # one DMA of the whole image at step 0; later tiles reuse it
+            # (grid steps run sequentially on the core, so the step-0 wait
+            # fences every later read)
+            @pl.when(i == 0)
+            def _():
+                for c in dmas(jnp.int32(0), jnp.int32(0)):
+                    c.start()
+                for c in dmas(jnp.int32(0), jnp.int32(0)):
+                    c.wait()
+        else:
+            @pl.when(i == 0)
+            def _():
+                for c in dmas(slot, i):
+                    c.start()
+
+            @pl.when(i + 1 < T)
+            def _():
+                for c in dmas(nxt, i + jnp.int32(1)):
+                    c.start()
+
             for c in dmas(slot, i):
-                c.start()
-
-        @pl.when(i + 1 < T)
-        def _():
-            for c in dmas(nxt, i + jnp.int32(1)):
-                c.start()
-
-        for c in dmas(slot, i):
-            c.wait()
+                c.wait()
 
         acc = jnp.zeros((G, 128), jnp.float32)
         acc_l = jnp.zeros((G, 128), jnp.float32) if dd else None
@@ -277,23 +293,24 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "unroll", "interpret"))
+                                    "unroll", "static", "interpret"))
 def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
-             unroll=False, interpret=False):
+             unroll=False, static=False, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 2, 1)
+    nbuf = 1 if static else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * K128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf * K128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=False, slope=slope,
-                     unroll=unroll),
+                     unroll=unroll, static=static),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
@@ -302,27 +319,29 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "unroll", "fastdd", "interpret"))
+                                    "unroll", "fastdd", "static",
+                                    "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
             S, G, KS, K128, T, slope=0, unroll=False, fastdd=False,
-            interpret=False):
+            static=False, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
+    nbuf = 1 if static else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * K128, 128), jnp.float32),  # x hi window
-            pltpu.VMEM((2 * K128, 128), jnp.float32),  # x lo window
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf * K128, 128), jnp.float32),  # x hi window
+            pltpu.VMEM((nbuf * K128, 128), jnp.float32),  # x lo window
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=True, slope=slope,
-                     unroll=unroll, fastdd=fastdd),
+                     unroll=unroll, fastdd=fastdd, static=static),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
@@ -333,7 +352,8 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
 import collections
 
 PlanCfg = collections.namedtuple(
-    "PlanCfg", "S G KS K128 T nx128 lead slope dd unroll fastdd interpret")
+    "PlanCfg",
+    "S G KS K128 T nx128 lead slope static dd unroll fastdd interpret")
 
 
 class DevicePlan:
@@ -360,7 +380,8 @@ class DevicePlan:
                 and fma_contraction_available())
             self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
                                plan.num_tiles, plan.nx128, plan.lead,
-                               plan.slope, dd, unroll, fastdd, interpret)
+                               plan.slope, bool(plan.static_window),
+                               dd, unroll, fastdd, interpret)
             T, S, G = plan.num_tiles, plan.rowsize, plan.G
             self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
             self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
@@ -394,10 +415,11 @@ class DevicePlan:
                              self.vals[0], self.vals[1], x,
                              c.S, c.G, c.KS, c.K128, c.T,
                              c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                             c.interpret)
+                             c.static, c.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
                           x, c.S, c.G, c.KS, c.K128, c.T,
-                          c.nx128, c.lead, c.slope, c.unroll, c.interpret)
+                          c.nx128, c.lead, c.slope, c.unroll, c.static,
+                          c.interpret)
 
     def apply_pair(self, xh, xl):
         """fp64 SpMV on pre-split (hi, lo) f32 vectors, returning the
@@ -409,7 +431,7 @@ class DevicePlan:
                               self.vals[0], self.vals[1], xh, xl,
                               c.S, c.G, c.KS, c.K128, c.T,
                               c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                              c.interpret)
+                              c.static, c.interpret)
 
 
 def _dp_flatten(dp):
@@ -425,47 +447,51 @@ jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "unroll", "interpret"))
+                                             "unroll", "static",
+                                             "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
-               lead=0, slope=0, unroll=False, interpret=False):
+               lead=0, slope=0, unroll=False, static=False,
+               interpret=False):
     x = x.astype(jnp.float32)
     x2d = jnp.pad(x, (lead * 128,
                       nx128 * 128 - lead * 128 - x.shape[0])
                   ).reshape(nx128, 128)
     y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope,
-                 unroll, interpret)
+                 unroll, static, interpret)
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "unroll", "fastdd",
+                                             "unroll", "fastdd", "static",
                                              "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
               nx128, lead=0, slope=0, unroll=False, fastdd=False,
-              interpret=False):
+              static=False, interpret=False):
     xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                     S, G, KS, K128, T, slope, unroll, fastdd, interpret)
+                     S, G, KS, K128, T, slope, unroll, fastdd, static,
+                     interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "unroll", "fastdd",
+                                             "unroll", "fastdd", "static",
                                              "interpret"))
 def _dd_apply_pair(wbase128, qb, lcol, vals_h, vals_l, xh, xl,
                    S, G, KS, K128, T, nx128, lead=0, slope=0, unroll=False,
-                   fastdd=False, interpret=False):
+                   fastdd=False, static=False, interpret=False):
     pad = (lead * 128, nx128 * 128 - lead * 128 - xh.shape[0])
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      jnp.pad(xh, pad).reshape(nx128, 128),
                      jnp.pad(xl, pad).reshape(nx128, 128),
-                     S, G, KS, K128, T, slope, unroll, fastdd, interpret)
+                     S, G, KS, K128, T, slope, unroll, fastdd, static,
+                     interpret)
     return yh.reshape(-1), yl.reshape(-1)
 
 
@@ -479,17 +505,40 @@ def get_plan(ell, **kw):
     val_dt = np.dtype(np.asarray(ell.values).dtype)
     dd = val_dt == np.float64
     vdt = np.float64 if dd else np.float32
+    vb = 8 if dd else 4
     plan = plan_mod.best_plan(ell, value_dtype=vdt, **kw)
-    # offset-bucketed slot reassignment can shrink the windows when rows
-    # are partially filled (stencil boundaries, FEM surfaces)
-    ell2 = plan_mod.rebucket_slots(ell)
-    if ell2 is not ell:
+
+    def better(cand):
+        return cand is not None and (
+            plan is None or plan_mod.estimate_cycles(cand, vb, dd)
+            < plan_mod.estimate_cycles(plan, vb, dd))
+
+    # slot reassignment candidates: offset buckets shrink windows when rows
+    # are partially filled (stencil boundaries, FEM surfaces); column
+    # buckets confine each slot's resident-x scan to its own column band
+    # (random/power-law matrices)
+    for key in ("offset", "column"):
+        ell2 = plan_mod.rebucket_slots(ell, key=key)
+        if ell2 is ell:
+            continue
         plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
-        if plan2 is not None and (
-                plan is None
-                or plan_mod.estimate_cycles(plan2, 8 if dd else 4, dd)
-                < plan_mod.estimate_cycles(plan, 8 if dd else 4, dd)):
+        if better(plan2):
             plan = plan2
+    # when the winner is still scan-bound (wide per-slot gather spans:
+    # random columns, near-full rows), widen the slot space so column
+    # bucketing has slack — trades padding storage for an S-fold scan cut
+    S = ell.rowsize
+    if plan is None or float(plan.qb[:, 1, :].mean()) > 8.0:
+        for s_out in {min(2 * S, 128), min(4 * S, 128)}:
+            if s_out <= S:
+                continue
+            ell2 = plan_mod.rebucket_slots(ell, key="column",
+                                           widen_to=s_out)
+            if ell2 is ell:
+                continue
+            plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
+            if better(plan2):
+                plan = plan2
     if plan is None:
         object.__setattr__(ell, _PLAN_ATTR, "unsupported")
         return None

@@ -34,9 +34,15 @@ import numpy as np
 
 # Budgets. KS is the number of gather+select steps per slot; K128 the x
 # window height in 128-element rows (VMEM scratch = K128*512 bytes per
-# buffer for f32).
-DEFAULT_MAX_KS = 64
-DEFAULT_MAX_K128 = 2048      # 1 MiB f32 window
+# buffer for f32). Moving windows are double-buffered (DMA'd per tile);
+# static windows hold the WHOLE padded x image in VMEM once (single
+# buffer, one DMA) — the resident-x scan path for random-column matrices
+# (power-law rest parts), where each slot select-scans its column bucket
+# instead of a narrow quasi-diagonal. KS is only a loop bound (the
+# per-slot counts in qb[:,1] bound the actual work), so the budget is
+# generous; VMEM feasibility is what actually gates plans.
+DEFAULT_MAX_KS = 4096
+DEFAULT_MAX_K128 = 2048      # 1 MiB f32 window per moving buffer
 DEFAULT_ROW_TILE = 1024
 
 # Cost-model constants for plan selection (v5e-class): HBM bytes per core
@@ -51,13 +57,14 @@ _TILE_OVERHEAD_CYCLES = 300.0
 VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
-def _vmem_bytes(S, G, KS, K128, dd, lcol16=True):
+def _vmem_bytes(S, G, KS, K128, dd, lcol16=True, static=False):
     # Estimated per-kernel VMEM: double-buffered lcol/vals tiles (the
-    # Pallas pipeline), the double-buffered x windows, and y tiles.
+    # Pallas pipeline), the x window scratch (double-buffered when moving,
+    # single when static/resident), and y tiles.
     tile = S * G * 128
     lcol = tile * (2 if lcol16 else 4) * 2
     vals = tile * 4 * 2 * (2 if dd else 1)
-    xw = 2 * K128 * 128 * 4 * (2 if dd else 1)
+    xw = (1 if static else 2) * K128 * 128 * 4 * (2 if dd else 1)
     y = G * 128 * 4 * 2 * (2 if dd else 1)
     return lcol + vals + xw + y
 
@@ -83,6 +90,7 @@ class EllPlan:
     nx128: int             # padded x image length in 128-blocks
     lead: int              # leading zero 128-rows in the x image
     slope: int             # 0: raw columns; 1: per-group rebased (diagonal)
+    static_window: int     # 1: window = whole x image, DMA'd once (resident)
     wbase128: np.ndarray   # (num_tiles,) int32: x window start / 128
     qb: np.ndarray         # (T, 2, rowsize) int32: [qb; per-slot ks]
     lcol: np.ndarray       # (num_tiles, rowsize*G, 128) int32 local columns
@@ -97,13 +105,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cost(T, S, G, KS, K128, value_bytes, dd) -> float:
+def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
     """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
     gather/select/FMA time, plus per-tile fixed overhead. Ranks candidate
     tile sizes only."""
     nnz_slots = T * S * G * 128
     hbm = (nnz_slots * (value_bytes + 4)
-           + T * K128 * 128 * value_bytes        # x window per tile
+           # x window: DMA'd per tile when moving, once when resident
+           + (1 if static else T) * K128 * 128 * value_bytes
            + T * G * 128 * value_bytes)          # y
     gather_ops = (5 if dd else 3) * KS + (20 if dd else 2)
     vpu = T * S * G * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
@@ -116,7 +125,7 @@ def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
     # ranks layouts (e.g. rebucketed vs rank slots) more faithfully
     ks_mean = float(plan.qb[:, 1, :].mean()) if plan.qb.size else plan.KS
     return _cost(plan.num_tiles, plan.rowsize, plan.G, ks_mean, plan.K128,
-                 value_bytes, dd)
+                 value_bytes, dd, static=bool(plan.static_window))
 
 
 class _Stats:
@@ -177,25 +186,32 @@ class _Stats:
         return fmin.min(axis=1), fmax.max(axis=1)
 
 
-def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0):
+def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0,
+             static=False):
     """Derive (wbase128, K128, qb, KS) from per-tile slot extrema of the
     (rebased) columns, or None when over budget. `extra_rows` = G-1 for
     slope-1 plans: the diagonal (G,128) gather slice reads that many rows
-    past the sub-window base."""
+    past the sub-window base. `static=True` forces the window to the whole
+    x image (resident-x scan; max_k128 does not apply — VMEM feasibility
+    is checked by the caller)."""
     tile_min = smin.min(axis=1)
     tile_max = smax.max(axis=1)
     empty = tile_max <= _EMPTY_MAX // 2
     tile_min = np.where(empty, 0, tile_min)
     tile_max = np.where(empty, 0, tile_max)
 
-    wbase128 = np.maximum(tile_min >> 7, 0)
-    K128 = int(np.max((tile_max >> 7) - wbase128 + 1)) + extra_rows
-    K128 = _round_up(max(K128, 1), 8)
-    if K128 > nx128:
-        # nx128 is the full padded image height, a multiple of 8 already
+    if static:
+        wbase128 = np.zeros_like(tile_min)
         K128 = nx128
-    if K128 > max_k128:
-        return None
+    else:
+        wbase128 = np.maximum(tile_min >> 7, 0)
+        K128 = int(np.max((tile_max >> 7) - wbase128 + 1)) + extra_rows
+        K128 = _round_up(max(K128, 1), 8)
+        if K128 > nx128:
+            # nx128 is the full padded image height, a multiple of 8 already
+            K128 = nx128
+        if K128 > max_k128:
+            return None
     # Clamp so window DMAs stay inside the padded x image (an overrun is a
     # hardware fault, not an error).
     wbase128 = np.minimum(wbase128, max(nx128 - K128, 0))
@@ -220,9 +236,10 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
                max_ks: int = DEFAULT_MAX_KS,
                max_k128: int = DEFAULT_MAX_K128,
                value_dtype=np.float32, slope: int = 0,
-               _stats=None) -> EllPlan | None:
+               static: bool = False, _stats=None) -> EllPlan | None:
     """Build a kernel plan at one tile size and rebasing slope, or None if
-    over budget."""
+    over budget. `static=True` builds a resident-x plan (slope must be 0):
+    the whole padded x image is the window, DMA'd to VMEM once."""
     S = ell.rowsize
     if S == 0 or S > 128:
         # the kernel unrolls its slot loop: very wide rows would blow up
@@ -245,16 +262,20 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     # columns can reach G-1 rows before x[0] (leading pad).
     nx128 = _round_up(lead + max(_round_up(m, 128) // 128, 1) + extra, 8)
 
+    if static and slope:
+        return None    # resident-x scan uses raw columns only
+
     stats = _stats if _stats is not None else _Stats(ell)
     fmin, fmax = stats.fold(G, slope)
     fmin = np.where(fmin >= _EMPTY_MIN // 2, fmin, fmin + 128 * lead)
     fmax = np.where(fmax <= _EMPTY_MAX // 2, fmax, fmax + 128 * lead)
-    win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra)
+    win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra,
+                   static=static)
     if win is None:
         return None
     wbase128, K128, qb, KS, ks = win
-    if _vmem_bytes(S, G, KS, K128,
-                   np.dtype(value_dtype) == np.float64) > VMEM_BUDGET_BYTES:
+    if _vmem_bytes(S, G, KS, K128, np.dtype(value_dtype) == np.float64,
+                   static=static) > VMEM_BUDGET_BYTES:
         return None
 
     cols = np.zeros((n_pad, S), np.int64)
@@ -294,6 +315,7 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,
         n_pad=n_pad, nx128=nx128, lead=lead, slope=slope,
+        static_window=int(static),
         wbase128=wbase128.astype(np.int32),
         qb=np.stack([qb, ks], axis=1).astype(np.int32),  # (T, 2, S)
         lcol=relayout(lcol, lcol_dt),
@@ -317,102 +339,120 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
     m = ell.num_columns
     stats = _Stats(ell)
     best_cfg, best_cost = None, float("inf")
-    for slope in (0, 1):
-        for rt in row_tiles:
-            R = min(rt, max(128, _round_up(ell.padded_rows, 128)))
-            G = R // 128
-            extra = (G - 1) if slope else 0
-            nx128 = _round_up(
-                extra + max(_round_up(m, 128) // 128, 1) + extra, 8)
-            fmin, fmax = stats.fold(G, slope)
-            fmin = np.where(fmin >= _EMPTY_MIN // 2, fmin,
-                            fmin + 128 * extra)
-            fmax = np.where(fmax <= _EMPTY_MAX // 2, fmax,
-                            fmax + 128 * extra)
-            win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra)
-            if win is None:
-                continue
-            _, K128, _, KS, ks_arr = win
-            if _vmem_bytes(S, G, KS, K128, dd) > VMEM_BUDGET_BYTES:
-                continue
-            # cost with the average per-slot step count (dynamic loop)
-            KS = max(float(ks_arr.mean()), 1.0)
-            T = _round_up(ell.padded_rows, R) // R
-            c = _cost(T, S, G, KS, K128, vb, dd)
-            if c < best_cost:
-                best_cfg, best_cost = (rt, slope), c
+    for static in (False, True):
+        for slope in ((0, 1) if not static else (0,)):
+            for rt in row_tiles:
+                R = min(rt, max(128, _round_up(ell.padded_rows, 128)))
+                G = R // 128
+                extra = (G - 1) if slope else 0
+                nx128 = _round_up(
+                    extra + max(_round_up(m, 128) // 128, 1) + extra, 8)
+                fmin, fmax = stats.fold(G, slope)
+                fmin = np.where(fmin >= _EMPTY_MIN // 2, fmin,
+                                fmin + 128 * extra)
+                fmax = np.where(fmax <= _EMPTY_MAX // 2, fmax,
+                                fmax + 128 * extra)
+                win = _windows(fmin, fmax, nx128, max_ks, max_k128, extra,
+                               static=static)
+                if win is None:
+                    continue
+                _, K128, _, KS, ks_arr = win
+                if KS > max_ks:
+                    continue
+                if _vmem_bytes(S, G, KS, K128, dd,
+                               static=static) > VMEM_BUDGET_BYTES:
+                    continue
+                # cost with the average per-slot step count (dynamic loop)
+                KS = max(float(ks_arr.mean()), 1.0)
+                T = _round_up(ell.padded_rows, R) // R
+                c = _cost(T, S, G, KS, K128, vb, dd, static=static)
+                if c < best_cost:
+                    best_cfg, best_cost = (rt, slope, static), c
     if best_cfg is None:
         return None
-    rt, slope = best_cfg
+    rt, slope, static = best_cfg
     return build_plan(ell, row_tile=rt, max_ks=max_ks, max_k128=max_k128,
-                      value_dtype=value_dtype, slope=slope, _stats=stats)
+                      value_dtype=value_dtype, slope=slope, static=static,
+                      _stats=stats)
 
 
-def rebucket_slots(ell):
-    """Reassign each row's entries to ELL slots by column-offset bucket.
+def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
+    """Reassign each row's entries to ELL slots by bucketed sort key.
 
     With rank-ordered slots (--sort-rows), a slot mixes different diagonals
     whenever a row is missing earlier entries (e.g. stencil boundary rows),
     inflating the slot's window span across a tile. Bucketing by quantiles
-    of the offset distribution (col - row) re-aligns partial rows with the
-    full rows' diagonals: each real entry moves to the slot whose offset
-    bucket it belongs to (kept strictly increasing per row; padding fills
-    the leftover slots). Full rows are unchanged (the map is a per-row
-    permutation). Returns a re-slotted EllMatrix copy, or the input if
-    nothing moves.
+    of a per-entry key re-aligns entries across rows: each real entry moves
+    to the slot whose key bucket it belongs to (kept strictly increasing
+    per row; padding fills the leftover slots). Returns a re-slotted
+    EllMatrix copy, or the input if nothing moves.
+
+    key='offset': bucket by col - row (quasi-diagonal matrices — stencil
+    boundaries, FEM surfaces; re-aligns partial rows to the diagonals).
+    key='column': bucket by col alone (random/power-law matrices — slot s
+    then only scans its own column band, so a resident-x scan plan costs
+    ~K128 total steps per tile instead of S*K128).
+
+    `widen_to` pads the slot space to S_out > S: full rows have no slack
+    for bucketing (every slot is taken, so slots stay rank-ordered and
+    each spans the whole column range); extra slots give entries room to
+    sit at their bucket, trading ~S_out/S storage for an S-fold scan
+    reduction — the right trade when the scan dominates (random columns).
     """
     from ellspmv_tpu.formats.ell import EllMatrix
 
     S = ell.rowsize
-    if S <= 1 or ell.num_rows != ell.num_columns:
+    S_out = S if widen_to is None else max(int(widen_to), S)
+    if S < 1 or (key == "offset" and ell.num_rows != ell.num_columns):
+        return ell
+    if S_out == S and S <= 1:
         return ell
     cols = np.asarray(ell.colidx)
     vals = np.asarray(ell.values)
     n_pad = cols.shape[0]
     real = vals != 0
     cnt = real.sum(axis=1)
-    if (cnt >= S - 0).all():          # all rows full: permutation is identity
-        return ell
+    if S_out == S and (cnt >= S).all():
+        return ell        # all rows full: any in-place map is the identity
     rows = np.arange(n_pad, dtype=np.int64)[:, None]
-    offs = cols.astype(np.int64) - rows
+    offs = cols.astype(np.int64) - (rows if key == "offset" else 0)
     sample = offs[real]
     if sample.size == 0:
         return ell
     if sample.size > 4_000_000:
         sample = sample[:: sample.size // 4_000_000]
     uniq, counts = np.unique(sample, return_counts=True)
-    if len(uniq) <= S:
+    if len(uniq) <= S_out:
         # few distinct diagonals (stencils): one slot per diagonal, exact
         ideal = np.searchsorted(uniq, offs).astype(np.int64)
-        ideal = np.minimum(ideal, S - 1)
+        ideal = np.minimum(ideal, S_out - 1)
     else:
         # mass-balanced cuts on the discrete offset distribution
         # (np.quantile interpolation misplaces boundaries when a few
         # offsets carry most of the mass)
         cum = np.cumsum(counts)
-        cuts = np.searchsorted(cum, cum[-1] * np.arange(1, S) // S,
+        cuts = np.searchsorted(cum, cum[-1] * np.arange(1, S_out) // S_out,
                                side="left")
         bounds = uniq[np.minimum(cuts + 1, len(uniq) - 1)]
         ideal = np.searchsorted(bounds, offs, side="left").astype(np.int64)
     # real entries are column-sorted per row -> ideal is non-decreasing on
-    # them; make strictly increasing, clamp into [pos, pos + S - cnt]
+    # them; make strictly increasing, clamp into [rank, rank + S_out - cnt]
     pos = np.arange(S, dtype=np.int64)[None, :]
-    ideal = np.where(real, ideal, S - 1)
+    ideal = np.where(real, ideal, S_out - 1)
     slot = np.maximum.accumulate(ideal - pos, axis=1) + pos
     # rank of the entry among the row's REAL entries
     rank = np.cumsum(real, axis=1) - 1
-    slot = np.minimum(slot, rank + (S - cnt[:, None]))   # leave room right
-    slot = np.maximum(slot, rank)                        # and left
+    slot = np.minimum(slot, rank + (S_out - cnt[:, None]))  # room right
+    slot = np.maximum(slot, rank)                           # and left
     slot = np.where(real, slot, -1)
-    if (slot[real] == pos.repeat(n_pad, 0)[real]).all():
+    if S_out == S and (slot[real] == pos.repeat(n_pad, 0)[real]).all():
         return ell
 
-    new_cols = np.asarray(ell.colidx).copy()
-    new_vals = vals.copy()
     # padding defaults everywhere, then scatter the real entries
     pad_col = np.minimum(np.arange(n_pad), max(ell.num_columns - 1, 0))
-    new_cols[:] = pad_col[:, None]
-    new_vals[:] = 0
+    new_cols = np.broadcast_to(pad_col[:, None], (n_pad, S_out)).astype(
+        cols.dtype).copy()
+    new_vals = np.zeros((n_pad, S_out), vals.dtype)
     rr = np.nonzero(real)
     new_cols[rr[0], slot[rr]] = cols[rr]
     new_vals[rr[0], slot[rr]] = vals[rr]

@@ -368,6 +368,7 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
                              plan.nx128)
     slope = plan.slope
     lead = plan.lead
+    static = bool(plan.static_window)
     unroll = plan.KS <= 16
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
     m = sm.logical_cols
@@ -410,15 +411,17 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             yh, yl = ell_pallas._run_dd(
                 wb_blk, qb_blk, lcol_blk, vh_blk, vl_blk,
                 xh.reshape(nx128, 128), xl.reshape(nx128, 128),
-                S, G, KS, K128, T_local, slope, unroll,
-                ell_pallas.fma_contraction_available(), interpret)
+                S, G, KS, K128, T_local, slope=slope, unroll=unroll,
+                fastdd=ell_pallas.fma_contraction_available(),
+                static=static, interpret=interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
         else:
             x2d = xp.astype(jnp.float32).reshape(nx128, 128)
             acc = ell_pallas._run_f32(
                 wb_blk, qb_blk, lcol_blk, v_blk, x2d,
-                S, G, KS, K128, T_local, slope, unroll, interpret
+                S, G, KS, K128, T_local, slope=slope, unroll=unroll,
+                static=static, interpret=interpret
             ).reshape(-1)[:sm.block].astype(y_blk.dtype)
         if maybe_diag:
             gi = start[0] + jnp.arange(sm.block, dtype=jnp.int32)

@@ -169,3 +169,84 @@ def test_rebucket_banded_random():
     ell2 = rebucket_slots(ell)
     x = np.random.RandomState(1).rand(ell.num_columns)
     assert_fp64_close(ell_spmv_numpy(ell2, x), ell_spmv_numpy(ell, x))
+
+
+def test_static_window_resident_x(rng):
+    """Uniform random columns over a wide space: the resident-x scan path.
+    build_plan(static=True) must cover the whole x image from wbase 0."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    n, m, k = 4096, 65536, 5
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = rng.randint(0, m, n * k)
+    keys = rows * m + cols
+    _, keep = np.unique(keys, return_index=True)
+    coo = CooMatrix(n, m, rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32), rng.randn(len(keep)))
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    p = plan_mod.build_plan(ell, static=True)
+    assert p is not None and p.static_window == 1
+    assert (p.wbase128 == 0).all() and p.K128 == p.nx128
+    assert p.lcol.min() >= 0 and p.lcol.max() < p.KS * 128
+    # kernel correctness through the static plan
+    from ellspmv_tpu.ops.ell_pallas import DevicePlan
+    import os
+    os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        dp = DevicePlan(ell, p, dd=True)
+        x = rng.rand(m)
+        got = np.asarray(dp(x))[:n]
+        want = ell_spmv_numpy(ell, x)
+        scale = max(np.max(np.abs(want)), 1.0)
+        # f32-level tolerance: under interpret mode XLA fuses the kernel
+        # internals and rewrites the double-double error-free transforms
+        # (BENCH_NOTES.md); gather/window structure is what this pins.
+        # On hardware the Mosaic kernel is opaque and stays at ~1e-14.
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5 * scale)
+    finally:
+        del os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"]
+
+
+def test_rebucket_column_widened(rng):
+    """Widened column bucketing: semantics preserved, scan (per-slot span
+    sum) reduced on a random matrix with full rows."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    n, m, k = 2048, 32768, 6
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = rng.randint(0, m, n * k)
+    keys = rows * m + cols
+    _, keep = np.unique(keys, return_index=True)
+    coo = CooMatrix(n, m, rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32), rng.randn(len(keep)))
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    # full rows: in-place column rebucket is the identity
+    assert rebucket_slots(ell, key="column") is ell
+    e2 = rebucket_slots(ell, key="column", widen_to=4 * ell.rowsize)
+    assert e2 is not ell and e2.rowsize == 4 * ell.rowsize
+    x = rng.rand(m)
+    np.testing.assert_allclose(ell_spmv_numpy(e2, x)[:n],
+                               ell_spmv_numpy(ell, x)[:n], rtol=1e-12)
+    p1 = plan_mod.build_plan(ell, static=True)
+    p2 = plan_mod.build_plan(e2, static=True)
+    assert p1 is not None and p2 is not None
+    scan1 = float(p1.qb[:, 1, :].sum(axis=1).mean())
+    scan2 = float(p2.qb[:, 1, :].sum(axis=1).mean())
+    assert scan2 < 0.6 * scan1, (scan1, scan2)
+
+
+def test_get_plan_picks_scan_plan_for_random(rng):
+    """get_plan on a random wide matrix must produce SOME plan (the XLA
+    random gather is ~100x off on TPU) and it should be scan-efficient."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    n, m, k = 2048, 32768, 6
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = rng.randint(0, m, n * k)
+    keys = rows * m + cols
+    _, keep = np.unique(keys, return_index=True)
+    coo = CooMatrix(n, m, rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32), rng.randn(len(keep)))
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    dp = get_plan(ell)
+    assert dp is not None
+    # widened column bucketing should have produced a wider slot space
+    assert dp.cfg.S > ell.rowsize
