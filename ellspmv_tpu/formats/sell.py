@@ -48,6 +48,11 @@ class SellMatrix:
     # uniform (row_unperm maps sorted y back to natural order); None when
     # length sorting is off.
     row_unperm: Optional[np.ndarray] = None
+    # Long-row splitting: rows with > split_len entries are stored as
+    # multiple sub-rows (ids n.. for the extra chunks); y is re-aggregated
+    # with a small segment-sum over the extras. None when nothing split.
+    extra_rows: Optional[np.ndarray] = None   # (E,) original row per extra
+    num_sub_rows: Optional[int] = None        # n + E
 
     @property
     def sellsize(self) -> int:
@@ -71,35 +76,122 @@ class SellMatrix:
             None if self.tail is None else self.tail.device_put(value_dtype),
             self.num_rows, self.num_columns, self.num_nonzeros,
             None if self.row_unperm is None
-            else jnp.asarray(np.asarray(self.row_unperm)))
+            else jnp.asarray(np.asarray(self.row_unperm)),
+            None if self.extra_rows is None
+            else jnp.asarray(np.asarray(self.extra_rows)),
+            self.num_sub_rows)
 
 
 def sell_from_coo(coo: CooMatrix, slice_rows: int = 1024,
                   tail_cap: int = 64, sort_rows: bool = True,
                   length_sort: bool = False,
+                  split_rows: bool = True, split_len: int = 128,
+                  split_cols: int = 8192,
                   value_dtype=None, index_dtype=None) -> SellMatrix:
     """Convert COO to the bucketed sliced-ELL + CSR-tail hybrid.
 
     `length_sort=True` is SELL-sigma: rows are permuted by descending
     nonzero count before slicing, so slices are length-uniform — long rows
-    land together in wide buckets (evaluated as scatter-free row sums)
-    instead of spilling into the CSR tail, whose segment-sum scatter is the
-    slowest primitive on TPU. y is un-permuted on output (one n-sized
-    gather)."""
+    land together in wide buckets instead of spilling into the CSR tail,
+    whose segment-sum scatter is the slowest primitive on TPU. y is
+    un-permuted on output (one n-sized gather).
+
+    `split_rows=True` splits rows longer than `split_len` into sub-rows of
+    at most `split_len` entries (extra chunks get row ids n..), so every
+    bucket stays within the Pallas kernel's rowsize cap — no wide XLA
+    row-sum buckets and no CSR tail. With sorted rows each sub-row covers
+    a contiguous column chunk, so even long random rows get narrow gather
+    windows. y is re-aggregated with a segment-sum over only the extra
+    sub-rows (few: one per split_len entries of a long row)."""
     coo = coo.expand_symmetry()
     n, m = coo.num_rows, coo.num_columns
+    n_out = n          # the caller-visible row count (pre group padding)
     nnz_total = coo.num_nonzeros
     R = slice_rows
+
+    if split_rows and n:
+        counts0 = np.bincount(coo.rowidx, minlength=n)
+        long_row = counts0 > split_len
+        if long_row.any():
+            # Split long rows by column BAND first (bounded gather extent
+            # per sub-row — rank chunks of different-density parents span
+            # wildly different column ranges), then by rank within a band
+            # (bounded entry count per sub-row).
+            order0 = np.lexsort((coo.colidx, coo.rowidx))
+            rows0 = coo.rowidx[order0].astype(np.int64)
+            cols0 = coo.colidx[order0].astype(np.int64)
+            band = np.where(long_row[rows0], cols0 // split_cols, 0)
+            grp_change = np.empty(len(rows0), bool)
+            grp_change[0] = True
+            grp_change[1:] = (rows0[1:] != rows0[:-1]) | (band[1:]
+                                                          != band[:-1])
+            grp_id = np.cumsum(grp_change) - 1
+            starts = np.flatnonzero(grp_change)
+            rank_in_grp = np.arange(len(rows0)) - starts[grp_id]
+            sub_change = grp_change | ((rank_in_grp > 0)
+                                       & (rank_in_grp % split_len == 0))
+            sub_seq = np.cumsum(sub_change) - 1       # row-major sub ids
+            sub_first = np.flatnonzero(sub_change)
+            sub_row = rows0[sub_first]                # original row per sub
+            nsub = np.bincount(sub_row, minlength=n)  # 0 for empty rows
+            sub_off = np.concatenate([[0], np.cumsum(nsub)])
+            ordinal = np.arange(len(sub_row)) - sub_off[sub_row]
+            nextra = np.maximum(nsub - 1, 0)
+            extra_off = np.concatenate([[0], np.cumsum(nextra)])
+            final = np.where(ordinal == 0, sub_row,
+                             n + extra_off[sub_row] + ordinal - 1)
+            num_sub = int(n + extra_off[-1])
+            sm = sell_from_coo(
+                CooMatrix(num_sub, m, final[sub_seq], coo.colidx[order0],
+                          coo.values[order0]),
+                slice_rows=slice_rows, tail_cap=max(tail_cap, split_len),
+                sort_rows=sort_rows, length_sort=length_sort,
+                split_rows=False, value_dtype=value_dtype,
+                index_dtype=index_dtype)
+            return dataclasses.replace(
+                sm, num_rows=n, num_nonzeros=nnz_total,
+                extra_rows=np.repeat(np.arange(n, dtype=np.int64), nextra),
+                num_sub_rows=num_sub)
 
     row_unperm = None
     if length_sort and n:
         cnt0 = np.bincount(coo.rowidx, minlength=n)
-        perm = np.argsort(-cnt0, kind="stable")      # old row at position k
+        # primary key: the pow2 LENGTH BUCKET (slices are pow2-bucketed
+        # downstream, so sorting by raw count buys nothing within a
+        # bucket); secondary: each row's smallest column — rows (and
+        # split sub-rows, whose entries are contiguous column chunks)
+        # with nearby gather windows land in the same slice, keeping
+        # per-slot window spans narrow. Raw-count ordering would restart
+        # the column ordering at every distinct count, scattering bands
+        # across slices.
+        first = np.full(n, m, np.int64)
+        np.minimum.at(first, coo.rowidx, coo.colidx.astype(np.int64))
+        lb = np.ceil(np.log2(np.maximum(cnt0, 1))).astype(np.int64)
+        perm = np.lexsort((first, -lb))              # old row at position k
+        # pad each length group to a slice multiple: a slice straddling a
+        # group boundary would mix the highest first-columns of one group
+        # with the lowest of the next, and that single slice's full-range
+        # window span poisons the global K128/KS maxima of its bucket
+        lb_sorted = lb[perm]
+        starts = np.flatnonzero(
+            np.concatenate([[True], lb_sorted[1:] != lb_sorted[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        padded = -(-sizes // R) * R
+        pad_base = np.concatenate([[0], np.cumsum(padded)])
+        group_of = np.repeat(np.arange(len(starts)), sizes)
+        pos_sorted = pad_base[group_of] + (np.arange(n) - starts[group_of])
         inv = np.empty(n, np.int64)
-        inv[perm] = np.arange(n)
-        coo = CooMatrix(n, m, inv[coo.rowidx].astype(coo.rowidx.dtype),
-                        coo.colidx, coo.values)
+        inv[perm] = pos_sorted
+        n_eff = int(pad_base[-1])                    # includes gap rows
+        coo = CooMatrix(n_eff, m, inv[coo.rowidx], coo.colidx, coo.values)
+        n = n_eff
         row_unperm = inv                              # y_nat = y_sorted[inv]
+
+    if split_rows:
+        # with splitting on, nothing needs the CSR tail: rows are at most
+        # split_len long (either naturally or after the split above), and
+        # split_len-wide buckets stay within the Pallas kernel's cap
+        tail_cap = max(tail_cap, split_len)
 
     n_pad = max(_round_up(n, R), R)
     T = n_pad // R
@@ -153,13 +245,14 @@ def sell_from_coo(coo: CooMatrix, slice_rows: int = 1024,
                                     index_dtype=index_dtype,
                                     row_tile=R, rowsize=S))
     return SellMatrix(buckets=buckets, order=concat_pos, slice_rows=R,
-                      tail=tail, num_rows=n, num_columns=m,
+                      tail=tail, num_rows=n_out, num_columns=m,
                       num_nonzeros=nnz_total, row_unperm=row_unperm)
 
 
 def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
     """y := A*x + y over the hybrid: per-bucket ELL kernels, slice-granular
     reassembly, segment-sum tail."""
+    import jax
     import jax.numpy as jnp
 
     from ellspmv_tpu.ops import spmv as _spmv
@@ -167,17 +260,27 @@ def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
 
     x = jnp.asarray(x)
     R = sm.slice_rows
+    n_sub = sm.num_sub_rows if sm.num_sub_rows is not None else sm.num_rows
     parts = []
     for b in sm.buckets:
         yb = _spmv(b, x, None, backend=backend)      # (bucket_rows,)
         parts.append(yb.reshape(-1, R))
     tiles = jnp.concatenate(parts, axis=0)           # (T, R) concat order
     y2d = tiles[jnp.asarray(np.asarray(sm.order))]   # original tile order
-    out = y2d.reshape(-1)[:sm.num_rows]
-    if sm.tail is not None:
-        out = csr_spmv_xla(sm.tail, x, out)
-    if sm.row_unperm is not None:                    # SELL-sigma un-permute
+    out = y2d.reshape(-1)
+    if sm.tail is not None:                          # tail ids are padded
+        out = csr_spmv_xla(sm.tail, x, out[:sm.tail.num_rows])
+    if sm.row_unperm is not None:
+        # SELL-sigma un-permute: index the PADDED sorted vector (length-
+        # group padding leaves gap rows the unperm skips)
         out = out[jnp.asarray(np.asarray(sm.row_unperm))]
+    else:
+        out = out[:n_sub]
+    if sm.extra_rows is not None:                    # long-row re-aggregate
+        extras = jax.ops.segment_sum(
+            out[sm.num_rows:], jnp.asarray(np.asarray(sm.extra_rows)),
+            num_segments=sm.num_rows, indices_are_sorted=True)
+        out = out[:sm.num_rows] + extras
     if y is not None:
         out = out + jnp.asarray(y).astype(out.dtype)
     return out

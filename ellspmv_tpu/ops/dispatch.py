@@ -113,25 +113,38 @@ def traceable_spmv(matrix, backend: str = "auto"):
         order = jnp.asarray(_np.asarray(matrix.order))
         unperm = (None if matrix.row_unperm is None
                   else jnp.asarray(_np.asarray(matrix.row_unperm)))
+        extra = (None if matrix.extra_rows is None
+                 else jnp.asarray(_np.asarray(matrix.extra_rows)))
         R = matrix.slice_rows
         n = matrix.num_rows
+        n_sub = (matrix.num_sub_rows if matrix.num_sub_rows is not None
+                 else matrix.num_rows)
 
         def fn(op, x, y=None):
-            sub_ops, tail, order_, unperm_ = op
+            sub_ops, tail, order_, unperm_, extra_ = op
             parts = [f(o, x, None).reshape(-1, R)
                      for f, o in zip(sub_fns, sub_ops)]
             tiles = jnp.concatenate(parts, axis=0)
-            out = tiles[order_].reshape(-1)[:n]
-            if tail is not None:
+            out = tiles[order_].reshape(-1)
+            if tail is not None:                     # tail ids are padded
                 from ellspmv_tpu.ops.csr_xla import csr_spmv_xla
-                out = csr_spmv_xla(tail, x, out)
+                out = csr_spmv_xla(tail, x, out[:tail.num_rows])
             if unperm_ is not None:
+                # index the padded sorted vector (group padding leaves
+                # gap rows the unperm skips)
                 out = out[unperm_]
+            else:
+                out = out[:n_sub]
+            if extra_ is not None:   # long-row split re-aggregation
+                out = out[:n] + jax.ops.segment_sum(
+                    out[n:], extra_, num_segments=n,
+                    indices_are_sorted=True)
             if y is not None:
                 out = out + y.astype(out.dtype)
             return out
 
-        return ([o for o, _ in subs], matrix.tail, order, unperm), fn
+        return ([o for o, _ in subs], matrix.tail, order, unperm,
+                extra), fn
     if isinstance(matrix, CsrMatrix):
         import jax as _jax
         if backend in ("auto", "pallas") and (

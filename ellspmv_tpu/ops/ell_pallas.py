@@ -37,6 +37,11 @@ from ellspmv_tpu.ops import plan as plan_mod
 
 _PLAN_ATTR = "_pallas_plan_cache"
 
+# Slot loops up to this width are unrolled (straight-line code Mosaic can
+# pipeline); wider slot spaces use a dynamic fori_loop so compiled kernel
+# size stays O(1) in the slot count (split rows / widened column buckets).
+_SLOT_UNROLL_MAX = int(os.environ.get("ELLSPMV_TPU_SLOT_UNROLL", "16"))
+
 
 def _i0():
     """int32 zero for BlockSpec index maps: with jax_enable_x64, a bare
@@ -205,10 +210,10 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             for c in dmas(slot, i):
                 c.wait()
 
-        acc = jnp.zeros((G, 128), jnp.float32)
-        acc_l = jnp.zeros((G, 128), jnp.float32) if dd else None
-        for s in range(S):
+        def slot_step(s, acc, acc_l):
             idx = lcol_ref[0, s]
+            if idx.ndim == 3:         # dynamic s: (1, G, 128) slice
+                idx = idx[0]
             if idx.dtype != jnp.int32:
                 idx = idx.astype(jnp.int32)   # int16 storage, i32 compute
             q = jax.lax.shift_right_logical(idx, jnp.int32(7))
@@ -227,6 +232,15 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 return jnp.broadcast_to(
                     buf[pl.ds(sbase + qb + k, 1), :], (G, 128))
 
+            # chunked scan (slope-0 dynamic loops): load an (8, 128) window
+            # block once per iteration, then 8 static select steps — cuts
+            # the per-step dynamic-slice + loop overhead ~8x. The chunk may
+            # read up to 7 rows past the slot's span; those steps' k never
+            # matches any q (q < ks), and the scratch carries 8 slack rows
+            # so the read itself stays in bounds.
+            U = 8
+            chunked = (not unroll) and slope == 0
+
             if dd:
                 def body(k, carry):
                     h, lo = carry
@@ -234,6 +248,21 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     h = jnp.where(hit, _lane_gather(op(xw, k), lane), h)
                     lo = jnp.where(hit, _lane_gather(op(xwl, k), lane), lo)
                     return h, lo
+
+                def chunk(c, carry):
+                    h, lo = carry
+                    base = sbase + qb + c * jnp.int32(U)
+                    wh = xw[pl.ds(base, U), :]
+                    wl = xwl[pl.ds(base, U), :]
+                    for j in range(U):
+                        k = c * jnp.int32(U) + jnp.int32(j)
+                        hit = q == k
+                        rh = jnp.broadcast_to(wh[j:j + 1], (G, 128))
+                        rl = jnp.broadcast_to(wl[j:j + 1], (G, 128))
+                        h = jnp.where(hit, _lane_gather(rh, lane), h)
+                        lo = jnp.where(hit, _lane_gather(rl, lane), lo)
+                    return h, lo
+
                 init = (jnp.zeros((G, 128), jnp.float32),
                         jnp.zeros((G, 128), jnp.float32))
                 if unroll:
@@ -242,24 +271,58 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     xg_h, xg_l = init
                     for k in range(KS):
                         xg_h, xg_l = body(jnp.int32(k), (xg_h, xg_l))
+                elif chunked:
+                    xg_h, xg_l = jax.lax.fori_loop(
+                        0, (ks + jnp.int32(U - 1)) // jnp.int32(U),
+                        chunk, init)
                 else:
                     xg_h, xg_l = jax.lax.fori_loop(0, ks, body, init)
+                vh = vh_ref[0, s]
+                vl = vl_ref[0, s]
+                if vh.ndim == 3:
+                    vh, vl = vh[0], vl[0]
+                return _dd_fma(acc, acc_l, vh, vl, xg_h, xg_l, fast=fastdd)
             else:
                 def body(k, xg):
                     return jnp.where(q == k, _lane_gather(op(xw, k), lane),
                                      xg)
+
+                def chunk(c, xg):
+                    base = sbase + qb + c * jnp.int32(U)
+                    w = xw[pl.ds(base, U), :]
+                    for j in range(U):
+                        k = c * jnp.int32(U) + jnp.int32(j)
+                        r = jnp.broadcast_to(w[j:j + 1], (G, 128))
+                        xg = jnp.where(q == k, _lane_gather(r, lane), xg)
+                    return xg
+
                 if unroll:
                     xg = jnp.zeros((G, 128), jnp.float32)
                     for k in range(KS):
                         xg = body(jnp.int32(k), xg)
+                elif chunked:
+                    xg = jax.lax.fori_loop(
+                        0, (ks + jnp.int32(U - 1)) // jnp.int32(U),
+                        chunk, jnp.zeros((G, 128), jnp.float32))
                 else:
                     xg = jax.lax.fori_loop(
                         0, ks, body, jnp.zeros((G, 128), jnp.float32))
-            if dd:
-                acc, acc_l = _dd_fma(acc, acc_l, vh_ref[0, s], vl_ref[0, s],
-                                     xg_h, xg_l, fast=fastdd)
-            else:
-                acc = acc + v_ref[0, s] * xg
+                v = v_ref[0, s]
+                if v.ndim == 3:
+                    v = v[0]
+                return acc + v * xg, acc_l
+
+        acc = jnp.zeros((G, 128), jnp.float32)
+        acc_l = jnp.zeros((G, 128), jnp.float32) if dd else jnp.float32(0)
+        if S <= _SLOT_UNROLL_MAX:
+            # static slot loop: Mosaic pipelines the straight-line code
+            for s in range(S):
+                acc, acc_l = slot_step(s, acc, acc_l)
+        else:
+            # wide slot spaces (split long rows, widened column buckets):
+            # a dynamic slot loop keeps the compiled kernel size O(1) in S
+            acc, acc_l = jax.lax.fori_loop(
+                0, S, lambda s, c: slot_step(s, *c), (acc, acc_l))
         if dd:
             yh_ref[0, :, :] = acc
             yl_ref[0, :, :] = acc_l
@@ -304,7 +367,9 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((nbuf * K128, 128), jnp.float32),
+            # +8 slack rows: the chunked scan may read up to 7 rows past
+            # the last buffer's end (values masked by the q==k selects)
+            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -333,8 +398,10 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((nbuf * K128, 128), jnp.float32),  # x hi window
-            pltpu.VMEM((nbuf * K128, 128), jnp.float32),  # x lo window
+            # +8 slack rows: the chunked scan may read up to 7 rows past
+            # the last buffer's end (values masked by the q==k selects)
+            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),  # x hi window
+            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),  # x lo window
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
@@ -528,8 +595,9 @@ def get_plan(ell, **kw):
     # random columns, near-full rows), widen the slot space so column
     # bucketing has slack — trades padding storage for an S-fold scan cut
     S = ell.rowsize
+    cap = plan_mod.MAX_ROWSIZE
     if plan is None or float(plan.qb[:, 1, :].mean()) > 8.0:
-        for s_out in {min(2 * S, 128), min(4 * S, 128)}:
+        for s_out in {min(2 * S, cap), min(4 * S, cap)}:
             if s_out <= S:
                 continue
             ell2 = plan_mod.rebucket_slots(ell, key="column",

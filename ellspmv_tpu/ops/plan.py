@@ -44,6 +44,11 @@ import numpy as np
 DEFAULT_MAX_KS = 4096
 DEFAULT_MAX_K128 = 2048      # 1 MiB f32 window per moving buffer
 DEFAULT_ROW_TILE = 1024
+# Slot-space cap. The kernel unrolls slots only up to its
+# _SLOT_UNROLL_MAX (16) and runs a dynamic slot loop beyond, so wide slot
+# spaces no longer blow up compile size; the cap bounds the lcol/vals
+# VMEM tiles and the padding blowup of widened column-bucket plans.
+MAX_ROWSIZE = 512
 
 # Cost-model constants for plan selection (v5e-class): HBM bytes per core
 # cycle, and VPU (8,128)-op issue per cycle.
@@ -115,7 +120,9 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
            + (1 if static else T) * K128 * 128 * value_bytes
            + T * G * 128 * value_bytes)          # y
     gather_ops = (5 if dd else 3) * KS + (20 if dd else 2)
-    vpu = T * S * G * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
+    # a (G,128) op with G<8 still occupies a full (8,128) native vreg op —
+    # short tiles waste sublanes, so G is floored at 8 here
+    vpu = T * S * max(G, 8) * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
     return max(hbm / _HBM_BYTES_PER_CYCLE, vpu) + T * _TILE_OVERHEAD_CYCLES
 
 
@@ -241,10 +248,10 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     over budget. `static=True` builds a resident-x plan (slope must be 0):
     the whole padded x image is the window, DMA'd to VMEM once."""
     S = ell.rowsize
-    if S == 0 or S > 128:
-        # the kernel unrolls its slot loop: very wide rows would blow up
-        # compile time (and such buckets come from skewed matrices whose
-        # columns defeat the windows anyway) — XLA row-sum handles them
+    if S == 0 or S > MAX_ROWSIZE:
+        # beyond the cap the lcol/vals tiles and padding dominate — XLA
+        # row-sum handles such buckets (and the SELL row splitter keeps
+        # real sub-rows at <= 128 entries anyway)
         return None
     if ell.num_columns > np.iinfo(np.int32).max:
         return None   # stats/lcol use int32 column arithmetic

@@ -32,11 +32,19 @@ def test_padding_win_vs_ell(rng):
 
 def test_tail_split(rng):
     coo = dense_rows(1024, 3, num_dense=2, dense_nnz=500, seed=3)
+    # default: long rows are SPLIT into sub-rows (no CSR tail, every
+    # bucket within the Pallas rowsize cap), and y is re-aggregated
     sm = sell_from_coo(coo, slice_rows=128, tail_cap=8)
-    assert sm.tail is not None
-    assert sm.tailsize > 0
-    # every bucket's rowsize stays within the cap
-    assert all(b.rowsize <= 8 for b in sm.buckets)
+    assert sm.tail is None
+    assert sm.extra_rows is not None and sm.num_sub_rows > sm.num_rows
+    assert all(b.rowsize <= 128 for b in sm.buckets)
+    x = rng.randn(1024)
+    assert_fp64_close(np.asarray(sell_spmv(sm, x)), coo_spmv_numpy(coo, x))
+    # legacy path: splitting off -> entries beyond tail_cap go to the tail
+    sm2 = sell_from_coo(coo, slice_rows=128, tail_cap=8, split_rows=False)
+    assert sm2.tail is not None and sm2.tailsize > 0
+    assert all(b.rowsize <= 8 for b in sm2.buckets)
+    assert_fp64_close(np.asarray(sell_spmv(sm2, x)), coo_spmv_numpy(coo, x))
 
 
 def test_no_tail_when_uniform(rng):
@@ -101,9 +109,10 @@ def test_length_sort_sell_sigma(rng):
     matrices while keeping results identical (natural row order)."""
     from ellspmv_tpu.models.generators import power_law
     coo = power_law(2000, 8, seed=6)
-    plain = sell_from_coo(coo, slice_rows=128, tail_cap=16)
+    plain = sell_from_coo(coo, slice_rows=128, tail_cap=16,
+                          split_rows=False)
     sigma = sell_from_coo(coo, slice_rows=128, tail_cap=2048,
-                          length_sort=True)
+                          length_sort=True, split_rows=False)
     assert sigma.row_unperm is not None
     assert sigma.tailsize < plain.tailsize
     # length-uniform slices: padding stays bounded even with the huge cap
