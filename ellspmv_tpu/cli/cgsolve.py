@@ -109,17 +109,30 @@ def main(argv=None) -> int:
 
     if devices > 1:
         from ellspmv_tpu.parallel.spmv import shard_matrix, sharded_spmv_fn
-        try:
-            sm = shard_matrix(ell, devices)
-        except ValueError as e:
-            sys.stderr.write(f"{program}: {e}\n")
-            return 1
-        fn_s = sharded_spmv_fn(sm)
-        matvec = lambda v: fn_s(sm, v)
-        operand = None
+        res = None
+        if precision == "float64":
+            # distributed dd-vector CG: the whole solve inside one
+            # shard_map; vectors stay f32 (hi, lo) pairs on every device
+            try:
+                from ellspmv_tpu.parallel.solver import cg_dd_sharded
+                sm = shard_matrix(ell, devices, x_layout="physical")
+                t0 = time.perf_counter()
+                res = cg_dd_sharded(sm, jax.numpy.asarray(b), tol=tol,
+                                    maxiter=maxiter)
+            except ValueError:
+                res = None     # no Pallas plan etc. -> generic path
+        if res is None:
+            try:
+                sm = shard_matrix(ell, devices)
+            except ValueError as e:
+                sys.stderr.write(f"{program}: {e}\n")
+                return 1
+            fn_s = sharded_spmv_fn(sm)
+            matvec = lambda v: fn_s(sm, v)
 
-        t0 = time.perf_counter()
-        res = cg(matvec, jax.numpy.asarray(b), tol=tol, maxiter=maxiter)
+            t0 = time.perf_counter()
+            res = cg(matvec, jax.numpy.asarray(b), tol=tol,
+                     maxiter=maxiter)
     else:
         from ellspmv_tpu.ops.dispatch import traceable_spmv
         from ellspmv_tpu.ops.ell_pallas import DevicePlan

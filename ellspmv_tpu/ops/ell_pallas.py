@@ -42,6 +42,12 @@ _PLAN_ATTR = "_pallas_plan_cache"
 # size stays O(1) in the slot count (split rows / widened column buckets).
 _SLOT_UNROLL_MAX = int(os.environ.get("ELLSPMV_TPU_SLOT_UNROLL", "16"))
 
+# Profiling ablations (benchmarks/profile_kernel.py): produce WRONG results
+# but isolate where kernel time goes. "nogather" skips the dynamic lane
+# gather (uses the window row directly); "noscan" does a single scan step
+# per slot; "nofma" (dd) replaces the compensated FMA with a plain f32 one.
+_ABLATE = os.environ.get("ELLSPMV_TPU_ABLATE", "")
+
 
 def _i0():
     """int32 zero for BlockSpec index maps: with jax_enable_x64, a bare
@@ -210,6 +216,9 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             for c in dmas(slot, i):
                 c.wait()
 
+        gather = ((lambda opnd, lane: opnd) if _ABLATE == "nogather"
+                  else _lane_gather)
+
         def slot_step(s, acc, acc_l):
             idx = lcol_ref[0, s]
             if idx.ndim == 3:         # dynamic s: (1, G, 128) slice
@@ -240,13 +249,17 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             # so the read itself stays in bounds.
             U = 8
             chunked = (not unroll) and slope == 0
+            if _ABLATE == "noscan":
+                KS_eff, ks_eff = 1, jnp.int32(1)
+            else:
+                KS_eff, ks_eff = KS, ks
 
             if dd:
                 def body(k, carry):
                     h, lo = carry
                     hit = q == k
-                    h = jnp.where(hit, _lane_gather(op(xw, k), lane), h)
-                    lo = jnp.where(hit, _lane_gather(op(xwl, k), lane), lo)
+                    h = jnp.where(hit, gather(op(xw, k), lane), h)
+                    lo = jnp.where(hit, gather(op(xwl, k), lane), lo)
                     return h, lo
 
                 def chunk(c, carry):
@@ -259,8 +272,8 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                         hit = q == k
                         rh = jnp.broadcast_to(wh[j:j + 1], (G, 128))
                         rl = jnp.broadcast_to(wl[j:j + 1], (G, 128))
-                        h = jnp.where(hit, _lane_gather(rh, lane), h)
-                        lo = jnp.where(hit, _lane_gather(rl, lane), lo)
+                        h = jnp.where(hit, gather(rh, lane), h)
+                        lo = jnp.where(hit, gather(rl, lane), lo)
                     return h, lo
 
                 init = (jnp.zeros((G, 128), jnp.float32),
@@ -269,22 +282,24 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     # static unroll over the global KS: cheap when KS is
                     # small; dead steps are select-no-ops
                     xg_h, xg_l = init
-                    for k in range(KS):
+                    for k in range(KS_eff):
                         xg_h, xg_l = body(jnp.int32(k), (xg_h, xg_l))
                 elif chunked:
                     xg_h, xg_l = jax.lax.fori_loop(
-                        0, (ks + jnp.int32(U - 1)) // jnp.int32(U),
+                        0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
                         chunk, init)
                 else:
-                    xg_h, xg_l = jax.lax.fori_loop(0, ks, body, init)
+                    xg_h, xg_l = jax.lax.fori_loop(0, ks_eff, body, init)
                 vh = vh_ref[0, s]
                 vl = vl_ref[0, s]
                 if vh.ndim == 3:
                     vh, vl = vh[0], vl[0]
+                if _ABLATE == "nofma":
+                    return acc + vh * xg_h, acc_l
                 return _dd_fma(acc, acc_l, vh, vl, xg_h, xg_l, fast=fastdd)
             else:
                 def body(k, xg):
-                    return jnp.where(q == k, _lane_gather(op(xw, k), lane),
+                    return jnp.where(q == k, gather(op(xw, k), lane),
                                      xg)
 
                 def chunk(c, xg):
@@ -293,20 +308,20 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     for j in range(U):
                         k = c * jnp.int32(U) + jnp.int32(j)
                         r = jnp.broadcast_to(w[j:j + 1], (G, 128))
-                        xg = jnp.where(q == k, _lane_gather(r, lane), xg)
+                        xg = jnp.where(q == k, gather(r, lane), xg)
                     return xg
 
                 if unroll:
                     xg = jnp.zeros((G, 128), jnp.float32)
-                    for k in range(KS):
+                    for k in range(KS_eff):
                         xg = body(jnp.int32(k), xg)
                 elif chunked:
                     xg = jax.lax.fori_loop(
-                        0, (ks + jnp.int32(U - 1)) // jnp.int32(U),
+                        0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
                         chunk, jnp.zeros((G, 128), jnp.float32))
                 else:
                     xg = jax.lax.fori_loop(
-                        0, ks, body, jnp.zeros((G, 128), jnp.float32))
+                        0, ks_eff, body, jnp.zeros((G, 128), jnp.float32))
                 v = v_ref[0, s]
                 if v.ndim == 3:
                     v = v[0]

@@ -82,6 +82,7 @@ class ShardedMatrix:
     logical_cols: int
     x_block: int                     # physical x entries per device
     unpermute: jax.Array             # (logical_rows,) physical y -> logical
+    x_physical: bool = False         # x shares the physical row layout
 
     # --- delegation so the bench harness can treat this like a matrix ---
     @property
@@ -101,6 +102,10 @@ class ShardedMatrix:
         return self.base.values
 
     def to_physical_x(self, x):
+        if self.x_physical:
+            return jax.device_put(
+                self.to_physical_y(x),
+                NamedSharding(self.mesh, P(self.mesh.axis_names[0])))
         m_pad = self.x_block * self.mesh.devices.size
         x = jnp.asarray(x)
         xp = jnp.pad(x, (0, m_pad - x.shape[0]))
@@ -136,14 +141,29 @@ class ShardedMatrix:
 
 
 def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
-                 rows_per_device=None, mesh: Mesh | None = None
-                 ) -> ShardedMatrix:
+                 rows_per_device=None, mesh: Mesh | None = None,
+                 x_layout: str = "logical") -> ShardedMatrix:
+    """`x_layout="physical"` (ELL, square, no split diagonal) remaps the
+    column indices into the padded physical row layout, so x and y share
+    ONE layout: physical position p is both row p and x entry p. Solvers
+    (CG) then iterate entirely in physical space — no per-iteration
+    unpermute gathers; only b in and x out cross the layouts."""
     if mesh is None:
         mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     bounds = _partition_boundaries(mat, n_dev, partition, rows_per_device)
     rows_per = np.diff(bounds)
+    if x_layout not in ("logical", "physical"):
+        raise ValueError(f"unknown x_layout {x_layout!r}")
+    if x_layout == "physical":
+        if not isinstance(mat, EllMatrix):
+            raise ValueError("physical x layout is ELL-only")
+        if mat.num_rows != mat.num_columns:
+            raise ValueError("physical x layout needs a square matrix")
+        if mat.diag is not None:
+            raise ValueError("physical x layout: fold the diagonal into "
+                             "the ELL slots (no --separate-diagonal)")
     if isinstance(mat, EllMatrix):
         # 128-aligned so Pallas row tiles can divide the device block
         tile = 128
@@ -171,23 +191,32 @@ def shard_matrix(mat, n_devices: int | None = None, partition: str = "rows",
             if diag is not None:
                 diag[d * block:d * block + cnt] = src_diag[lo:hi]
             unperm[lo:hi] = np.arange(d * block, d * block + cnt)
+        if x_layout == "physical":
+            # logical column c lives at physical x position unperm[c]
+            colidx = unperm[colidx].astype(idx_dt)
+            m_eff = block * n_dev
+            x_block = block
+        else:
+            m_eff = m
+            x_block = _round_up(max(m, 1), n_dev) // n_dev
         shard = NamedSharding(mesh, P(axis, None))
         shard1 = NamedSharding(mesh, P(axis))
         base = EllMatrix(
             colidx=jax.device_put(colidx, shard),
             values=jax.device_put(values, shard),
             diag=None if diag is None else jax.device_put(diag, shard1),
-            num_rows=mat.num_rows, num_columns=m,
+            num_rows=mat.num_rows, num_columns=m_eff,
             num_nonzeros=mat.num_nonzeros)
         sm = ShardedMatrix(base=base, mesh=mesh, boundaries=bounds,
                            block=block, logical_rows=mat.num_rows,
                            logical_cols=m,
-                           x_block=_round_up(max(m, 1), n_dev) // n_dev,
-                           unpermute=jnp.asarray(unperm))
+                           x_block=x_block,
+                           unpermute=jnp.asarray(unperm),
+                           x_physical=(x_layout == "physical"))
         # host copy of the physical layout, for the sharded Pallas plan
         sm._host_ell = EllMatrix(
             colidx=colidx, values=values, diag=None,
-            num_rows=block * n_dev, num_columns=m,
+            num_rows=block * n_dev, num_columns=m_eff,
             num_nonzeros=mat.num_nonzeros)
         return sm
     if isinstance(mat, CsrMatrix):
@@ -261,7 +290,7 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
 
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
     n_dev = mesh.devices.size
-    m = sm.logical_cols
+    m = sm.base.num_columns          # x image length (logical or physical)
     base = sm.base
     is_ell = isinstance(base, EllMatrix)
     val_dt = np.asarray(base.values).dtype
@@ -331,53 +360,56 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
     return fn
 
 
-def sharded_pallas_spmv_fn(sm: ShardedMatrix):
-    """Row-sharded SpMV whose per-device compute is the Pallas windowed
-    ELL kernel: the kernel plan is built once over the physical (padded
-    block) layout — device blocks are whole numbers of kernel row tiles —
-    and its operand arrays are row-tile-sharded over the mesh. Inside
-    shard_map each device allgathers x over ICI and runs its tile range.
+import collections
 
-    Returns None when the matrix has no plan (caller uses the XLA local
-    kernel instead).
-    """
+_PlanDims = collections.namedtuple(
+    "_PlanDims", "S G KS K128 nx128 lead slope static unroll T_local dd m")
+_PlanParts = collections.namedtuple("_PlanParts", "wb qb lcol vals dims")
+
+
+def _sharded_plan(sm: ShardedMatrix) -> "_PlanParts | None":
+    """Build the Pallas plan over the physical (padded-block) layout —
+    device blocks are whole numbers of kernel row tiles — and device_put
+    its operand arrays row-tile-sharded over the mesh. Cached on `sm`;
+    None when the matrix has no plan."""
     import jax.numpy as jnp
 
-    from ellspmv_tpu.ops import ell_pallas
     from ellspmv_tpu.ops import plan as plan_mod
 
+    cached = getattr(sm, "_sharded_plan_cache", None)
+    if cached is not None:
+        return cached if cached != "unsupported" else None
+    def reject():
+        sm._sharded_plan_cache = "unsupported"
+        return None
     if sm._host_ell is None:
-        return None
-    base = sm.base
-    val_dt = np.dtype(np.asarray(base.values).dtype)
+        return reject()
+    val_dt = np.dtype(np.asarray(sm.base.values).dtype)
     if val_dt not in (np.dtype(np.float32), np.dtype(np.float64)):
-        return None
+        return reject()
     dd = val_dt == np.dtype(np.float64)
     n_dev = sm.mesh.devices.size
     tiles = [t for t in (1024, 512, 256, 128) if sm.block % t == 0]
     if not tiles:
-        return None
+        return reject()
     plan = plan_mod.best_plan(
         sm._host_ell, row_tiles=tiles,
         value_dtype=np.float64 if dd else np.float32)
     if plan is None:
-        return None
+        return reject()
     assert plan.num_tiles % n_dev == 0
-    T_local = plan.num_tiles // n_dev
-    S, G, KS, K128, nx128 = (plan.rowsize, plan.G, plan.KS, plan.K128,
-                             plan.nx128)
-    slope = plan.slope
-    lead = plan.lead
-    static = bool(plan.static_window)
-    unroll = plan.KS <= 16
-    mesh, axis = sm.mesh, sm.mesh.axis_names[0]
-    m = sm.logical_cols
-    interpret = jax.devices()[0].platform != "tpu"
-
+    mesh = sm.mesh
+    axis = mesh.axis_names[0]
+    dims = _PlanDims(
+        S=plan.rowsize, G=plan.G, KS=plan.KS, K128=plan.K128,
+        nx128=plan.nx128, lead=plan.lead, slope=plan.slope,
+        static=bool(plan.static_window), unroll=plan.KS <= 16,
+        T_local=plan.num_tiles // n_dev, dd=dd,
+        m=sm._host_ell.num_columns)
     sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    T, S, G = plan.num_tiles, plan.rowsize, plan.G
     wb = jax.device_put(jnp.asarray(plan.wbase128), sh(axis))
     qb = jax.device_put(jnp.asarray(plan.qb), sh(axis, None, None))
-    T = plan.num_tiles
     lcol = jax.device_put(jnp.asarray(plan.lcol.reshape(T, S, G, 128)),
                           sh(axis, None, None, None))
     if dd:
@@ -393,6 +425,37 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             jax.device_put(
                 jnp.asarray(plan.vals.astype(np.float32).reshape(
                     T, S, G, 128)), sh(axis, None, None, None)),)
+    parts = _PlanParts(wb=wb, qb=qb, lcol=lcol, vals=vals_dev, dims=dims)
+    sm._sharded_plan_cache = parts
+    return parts
+
+
+def sharded_pallas_spmv_fn(sm: ShardedMatrix):
+    """Row-sharded SpMV whose per-device compute is the Pallas windowed
+    ELL kernel (plan via `_sharded_plan`). Inside shard_map each device
+    allgathers x over ICI and runs its tile range.
+
+    Returns None when the matrix has no plan (caller uses the XLA local
+    kernel instead).
+    """
+    import jax.numpy as jnp
+
+    from ellspmv_tpu.ops import ell_pallas
+
+    parts = _sharded_plan(sm)
+    if parts is None:
+        return None
+    base = sm.base
+    val_dt = np.dtype(np.asarray(base.values).dtype)
+    n_dev = sm.mesh.devices.size
+    wb, qb, lcol, vals_dev = parts.wb, parts.qb, parts.lcol, parts.vals
+    d_ = parts.dims
+    dd, T_local = d_.dd, d_.T_local
+    S, G, KS, K128, nx128 = d_.S, d_.G, d_.KS, d_.K128, d_.nx128
+    slope, lead, static, unroll = d_.slope, d_.lead, d_.static, d_.unroll
+    mesh, axis = sm.mesh, sm.mesh.axis_names[0]
+    m = d_.m
+    interpret = jax.devices()[0].platform != "tpu"
 
     row_start = jnp.asarray(sm.boundaries[:-1], jnp.int32)
     has_diag = base.diag is not None

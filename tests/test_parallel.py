@@ -107,3 +107,48 @@ def test_sharded_pallas_interpret(rng, monkeypatch):
     y0 = rng.randn(1024)
     got = np.asarray(fn(sm, x, y0))
     assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
+
+
+def test_physical_x_layout(rng):
+    """x_layout='physical': column indices remapped into the padded block
+    layout; SpMV still matches the oracle through the logical API."""
+    n = 96
+    coo = random_coo(rng, n, n, 500, with_dups=True)
+    ell = ell_from_coo(coo)
+    sm = shard_matrix(ell, 4, x_layout="physical")
+    assert sm.x_physical and sm.x_block == sm.block
+    fn = sharded_spmv_fn(sm)
+    x = rng.randn(n)
+    y0 = rng.randn(n)
+    got = np.asarray(fn(sm, x, y0))
+    assert_fp64_close(got, coo_spmv_numpy(coo, x, y0))
+
+
+def test_physical_x_layout_rejects(rng):
+    rect = ell_from_coo(random_coo(rng, 40, 52, 100))
+    with pytest.raises(ValueError):
+        shard_matrix(rect, 4, x_layout="physical")
+    sq = ell_from_coo(random_coo(rng, 64, 64, 200),
+                      separate_diagonal=True)
+    with pytest.raises(ValueError):
+        shard_matrix(sq, 4, x_layout="physical")
+
+
+def test_cg_dd_sharded(rng):
+    """Distributed dd CG: whole solve inside one shard_map over the mesh
+    (interpret-mode Pallas on CPU; XLA may rewrite the kernels' error-free
+    transforms there, so the tolerance is f32-level — hardware keeps dd)."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.models.generators import poisson2d
+    from ellspmv_tpu.parallel.solver import cg_dd_sharded
+
+    coo = poisson2d(12)                      # SPD, 144 rows
+    n = coo.num_rows
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    sm = shard_matrix(ell, 4, x_layout="physical")
+    b = rng.randn(n)
+    res = cg_dd_sharded(sm, b, tol=1e-10, maxiter=400)
+    x = np.asarray(res.x)
+    want = np.linalg.solve(coo.to_dense(), b)
+    assert int(res.iterations) > 0
+    np.testing.assert_allclose(x, want, rtol=2e-5, atol=2e-5)
