@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--band", type=int, default=512)
     ap.add_argument("--nnz", type=int, default=16)
+    ap.add_argument("--gen", default="banded",
+                    choices=["banded", "mesh", "poisson"])
     ap.add_argument("--dtype", default="f64", choices=["f64", "f32"])
     ap.add_argument("--variant", default="auto")
     ap.add_argument("--row-tile", type=int, default=0,
@@ -46,13 +48,24 @@ def main() -> int:
     from ellspmv_tpu.ops import ell_pallas, plan as plan_mod
 
     vdt = np.float64 if args.dtype == "f64" else np.float32
-    coo = banded_random(args.rows, args.nnz, args.band, seed=0)
+    if args.gen == "banded":
+        coo = banded_random(args.rows, args.nnz, args.band, seed=0)
+    elif args.gen == "mesh":
+        from ellspmv_tpu.models.generators import fem_mesh_2d
+        coo = fem_mesh_2d(int(round(args.rows ** 0.5)))
+    else:
+        from ellspmv_tpu.models.generators import poisson2d
+        coo = poisson2d(int(round(args.rows ** 0.5)))
+    n = coo.num_rows
     ell = ell_from_coo(coo, sort_rows=True, value_dtype=vdt, row_tile=256)
-    x = np.random.RandomState(1).rand(args.rows).astype(vdt)
+    x = np.random.RandomState(1).rand(n).astype(vdt)
 
     t0 = time.time()
     if args.variant == "auto":
-        dp = ell_pallas.get_plan(ell)
+        kw = {}
+        if args.row_tile:
+            kw["row_tiles"] = (args.row_tile,)
+        dp = ell_pallas.get_plan(ell, **kw)
         if dp is None:
             print("no plan", file=sys.stderr)
             return 1
@@ -76,7 +89,6 @@ def main() -> int:
     plan_s = time.time() - t0
 
     ks_mean = float(plan.qb[:, 1, :].mean())
-    n = ell.num_rows
     scale = jnp.asarray(1e-6, vdt)
 
     def make_loop(iters):
@@ -114,7 +126,7 @@ def main() -> int:
                 t0_ = time.perf_counter(); sync(run_hi2(xj, dp))
                 t_hi = time.perf_counter() - t0_
                 t = min(t, max((t_hi - t_lo) / hi2, 1e-12))
-    nnz = args.rows * args.nnz
+    nnz = ell.num_nonzeros
     print(f"{args.variant:12s} {args.dtype} S={plan.rowsize:3d} G={plan.G:3d} "
           f"KS={plan.KS:3d} ks={ks_mean:5.2f} slope={plan.slope} "
           f"static={plan.static_window} T={plan.num_tiles:4d} "

@@ -7,8 +7,10 @@ These generators build them directly as COO, so benchmarks need no giant
 
 - `poisson2d`: 2-D 5-point Poisson stencil (uniform 5 nnz/row — ideal ELL,
   zero padding; BASELINE configs[1]);
-- `banded_random`: random banded matrix (FEM-like bounded bandwidth —
-  the cant/consph stand-in; configs[2]);
+- `banded_random`: random banded matrix (bounded bandwidth with NO local
+  smoothness — the adversarial case for windowed gather kernels);
+- `fem_mesh_2d`: jittered-mesh FEM matrix in banded node order — the
+  faithful cant/consph/Lynx68 stand-in (configs[2], README:130);
 - `power_law`: skewed row/column degree matrix (webbase-like; the ELL
   padding blowup + hybrid-format case; configs[3]);
 - `dense_rows`: pathological few-dense-rows case for the SELL/CSR-tail
@@ -63,6 +65,60 @@ def banded_random(n: int, nnz_per_row: int, bandwidth: int,
     _, keep = np.unique(keys, return_index=True)
     rows, cols = rows[keep], cols[keep]
     vals = rng.randn(len(rows)).astype(value_dtype)
+    idx_dt = np.int32 if n < 2**31 else np.int64
+    return CooMatrix(n, n, rows.astype(idx_dt), cols.astype(idx_dt), vals)
+
+
+def fem_mesh_2d(nx: int, ny: int | None = None, extras: int = 4,
+                seed: int = 0, value_dtype=np.float64) -> CooMatrix:
+    """Unstructured-FEM-like mesh matrix in banded (RCM-like) node order —
+    the faithful stand-in for the reference's published benchmark matrix
+    Lynx68_reordered.mtx (README:130: 6.8M rows, ~17 nnz/row, RCM-reordered
+    FEM mesh; BASELINE configs[2] "SuiteSparse FEM matrix").
+
+    Nodes sit on an nx×ny grid in row-major order (= the band-limited
+    ordering RCM would produce). Each node couples to itself and its
+    8-neighborhood (smooth local structure, like a mesh's P1 stencil) plus
+    `extras` random distinct distance-2-ring neighbors (the unstructured
+    jitter: variable row lengths, rank/diagonal slips — what distinguishes
+    a real mesh from a clean stencil). Symmetrized, so row lengths vary
+    further (~13-21 nnz/row for extras=4). Values are random; the diagonal
+    is boosted to keep the matrix SPD-usable for CG demos."""
+    if ny is None:
+        ny = nx
+    rng = np.random.RandomState(seed)
+    n = nx * ny
+    ii, jj = np.divmod(np.arange(n, dtype=np.int64), ny)
+
+    rows_l, cols_l = [], []
+    # self + 8-neighborhood
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ok = ((ii + di >= 0) & (ii + di < nx)
+                  & (jj + dj >= 0) & (jj + dj < ny))
+            rows_l.append(np.flatnonzero(ok).astype(np.int64))
+            cols_l.append(rows_l[-1] + di * ny + dj)
+    # random distance-2-ring extras (upper triangle only; symmetrized below)
+    ring = np.array([(di, dj) for di in (-2, -1, 0, 1, 2)
+                     for dj in (-2, -1, 0, 1, 2)
+                     if max(abs(di), abs(dj)) == 2 and (di, dj) > (0, 0)],
+                    dtype=np.int64)
+    for _ in range(extras):
+        pick = ring[rng.randint(0, len(ring), size=n)]
+        di, dj = pick[:, 0], pick[:, 1]
+        ok = ((ii + di >= 0) & (ii + di < nx)
+              & (jj + dj >= 0) & (jj + dj < ny))
+        r = np.flatnonzero(ok).astype(np.int64)
+        c = r + di[ok] * ny + dj[ok]
+        rows_l.append(np.concatenate([r, c]))   # symmetrize
+        cols_l.append(np.concatenate([c, r]))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    keys = rows * n + cols
+    _, keep = np.unique(keys, return_index=True)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.randn(len(rows)).astype(value_dtype)
+    vals[rows == cols] = 24.0 + rng.rand((rows == cols).sum())
     idx_dt = np.int32 if n < 2**31 else np.int64
     return CooMatrix(n, n, rows.astype(idx_dt), cols.astype(idx_dt), vals)
 

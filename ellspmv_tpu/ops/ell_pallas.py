@@ -37,10 +37,16 @@ from ellspmv_tpu.ops import plan as plan_mod
 
 _PLAN_ATTR = "_pallas_plan_cache"
 
-# Slot loops up to this width are unrolled (straight-line code Mosaic can
-# pipeline); wider slot spaces use a dynamic fori_loop so compiled kernel
-# size stays O(1) in the slot count (split rows / widened column buckets).
+# Slot loops are unrolled (straight-line code Mosaic can pipeline) when the
+# slot count — or the total unrolled scan work S*KS — is small; wider slot
+# spaces use a dynamic fori_loop so compiled kernel size stays O(1) in the
+# slot count (split rows / widened column buckets).
 _SLOT_UNROLL_MAX = int(os.environ.get("ELLSPMV_TPU_SLOT_UNROLL", "16"))
+_SLOT_WORK_UNROLL = int(os.environ.get("ELLSPMV_TPU_SLOT_WORK", "160"))
+
+
+def _slots_unrolled(S: int, KS: int) -> bool:
+    return S <= _SLOT_UNROLL_MAX or S * max(KS, 1) <= _SLOT_WORK_UNROLL
 
 # Profiling ablations (benchmarks/profile_kernel.py): produce WRONG results
 # but isolate where kernel time goes. "nogather" skips the dynamic lane
@@ -159,7 +165,8 @@ def fma_contraction_available() -> bool:
 
 def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                  slope: int = 0, unroll: bool = False,
-                 fastdd: bool = False, static: bool = False):
+                 fastdd: bool = False, static: bool = False,
+                 ks_slot: tuple | None = None, nacc: int = 1):
     """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
     slot selection indexes a leading (untiled) dim; the x window is
     double-buffered through a (2, K128, W) scratch — or, for static
@@ -279,11 +286,29 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 init = (jnp.zeros((G, 128), jnp.float32),
                         jnp.zeros((G, 128), jnp.float32))
                 if unroll:
-                    # static unroll over the global KS: cheap when KS is
-                    # small; dead steps are select-no-ops
-                    xg_h, xg_l = init
-                    for k in range(KS_eff):
-                        xg_h, xg_l = body(jnp.int32(k), (xg_h, xg_l))
+                    # static unroll to the SLOT's own span (ks_slot, from
+                    # the plan) — narrow slots stop early instead of
+                    # running the global KS; hits are unique per element,
+                    # so masked steps sum in a tree (no serial select
+                    # chain for the scheduler to stall on)
+                    trip = KS_eff
+                    if ks_slot is not None and _ABLATE != "noscan":
+                        trip = ks_slot[s]
+                    parts = []
+                    for k in range(trip):
+                        hit = q == jnp.int32(k)
+                        parts.append((
+                            jnp.where(hit, gather(op(xw, jnp.int32(k)),
+                                                  lane), jnp.float32(0)),
+                            jnp.where(hit, gather(op(xwl, jnp.int32(k)),
+                                                  lane), jnp.float32(0))))
+                    while len(parts) > 1:
+                        nxt_ = [(a[0] + b[0], a[1] + b[1]) for a, b in
+                                zip(parts[0::2], parts[1::2])]
+                        if len(parts) % 2:
+                            nxt_.append(parts[-1])
+                        parts = nxt_
+                    xg_h, xg_l = parts[0] if parts else init
                 elif chunked:
                     xg_h, xg_l = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
@@ -312,9 +337,23 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     return xg
 
                 if unroll:
-                    xg = jnp.zeros((G, 128), jnp.float32)
-                    for k in range(KS_eff):
-                        xg = body(jnp.int32(k), xg)
+                    trip = KS_eff
+                    if ks_slot is not None and _ABLATE != "noscan":
+                        trip = ks_slot[s]
+                    parts = []
+                    for k in range(trip):
+                        parts.append(jnp.where(
+                            q == jnp.int32(k),
+                            gather(op(xw, jnp.int32(k)), lane),
+                            jnp.float32(0)))
+                    while len(parts) > 1:
+                        nxt_ = [a + b for a, b in
+                                zip(parts[0::2], parts[1::2])]
+                        if len(parts) % 2:
+                            nxt_.append(parts[-1])
+                        parts = nxt_
+                    xg = parts[0] if parts else jnp.zeros((G, 128),
+                                                          jnp.float32)
                 elif chunked:
                     xg = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
@@ -327,12 +366,24 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     v = v[0]
                 return acc + v * xg, acc_l
 
-        acc = jnp.zeros((G, 128), jnp.float32)
-        acc_l = jnp.zeros((G, 128), jnp.float32) if dd else jnp.float32(0)
-        if S <= _SLOT_UNROLL_MAX:
-            # static slot loop: Mosaic pipelines the straight-line code
+        zero = lambda: jnp.zeros((G, 128), jnp.float32)
+        acc = zero()
+        acc_l = zero() if dd else jnp.float32(0)
+        if _slots_unrolled(S, KS):
+            # static slot loop; `nacc` independent accumulators break the
+            # serial per-slot (dd-renorm) dependency chain so slots
+            # pipeline against each other
+            na = max(1, min(nacc, S))
+            accs = [(zero(), zero() if dd else jnp.float32(0))
+                    for _ in range(na)]
             for s in range(S):
-                acc, acc_l = slot_step(s, acc, acc_l)
+                accs[s % na] = slot_step(s, *accs[s % na])
+            acc, acc_l = accs[0]
+            for a2, a2l in accs[1:]:
+                if dd:
+                    acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                else:
+                    acc = acc + a2
         else:
             # wide slot spaces (split long rows, widened column buckets):
             # a dynamic slot loop keeps the compiled kernel size O(1) in S
@@ -371,9 +422,11 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
 
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
-                                    "unroll", "static", "interpret"))
+                                    "unroll", "static", "ks_slot", "nacc",
+                                    "interpret"))
 def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
-             unroll=False, static=False, interpret=False):
+             unroll=False, static=False, ks_slot=None, nacc=1,
+             interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 2, 1)
     nbuf = 1 if static else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -390,7 +443,8 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
     )
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=False, slope=slope,
-                     unroll=unroll, static=static),
+                     unroll=unroll, static=static, ks_slot=ks_slot,
+                     nacc=nacc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
@@ -400,10 +454,10 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
                                     "unroll", "fastdd", "static",
-                                    "interpret"))
+                                    "ks_slot", "nacc", "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
             S, G, KS, K128, T, slope=0, unroll=False, fastdd=False,
-            static=False, interpret=False):
+            static=False, ks_slot=None, nacc=1, interpret=False):
     in_specs, out_specs = _tile_specs(S, G, 3, 2)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     nbuf = 1 if static else 2
@@ -423,7 +477,8 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
     )
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=True, slope=slope,
-                     unroll=unroll, fastdd=fastdd, static=static),
+                     unroll=unroll, fastdd=fastdd, static=static,
+                     ks_slot=ks_slot, nacc=nacc),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
@@ -435,7 +490,8 @@ import collections
 
 PlanCfg = collections.namedtuple(
     "PlanCfg",
-    "S G KS K128 T nx128 lead slope static dd unroll fastdd interpret")
+    "S G KS K128 T nx128 lead slope static dd unroll fastdd ks_slot nacc "
+    "interpret")
 
 
 class DevicePlan:
@@ -460,10 +516,20 @@ class DevicePlan:
             fastdd = bool(dd and os.environ.get(
                 "ELLSPMV_TPU_FASTDD", "1") != "0"
                 and fma_contraction_available())
+            # per-slot static scan trips (tile-max spans): narrow slots
+            # stop early instead of running the global KS
+            ks_slot = None
+            if (unroll and _slots_unrolled(plan.rowsize, plan.KS)
+                    and os.environ.get("ELLSPMV_TPU_SLOT_KS", "1") != "0"
+                    and plan.qb.size):
+                ks_slot = tuple(
+                    int(v) for v in plan.qb[:, 1, :].max(axis=0))
+            nacc = int(os.environ.get("ELLSPMV_TPU_NACC", "2"))
             self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
                                plan.num_tiles, plan.nx128, plan.lead,
                                plan.slope, bool(plan.static_window),
-                               dd, unroll, fastdd, interpret)
+                               dd, unroll, fastdd, ks_slot, nacc,
+                               interpret)
             T, S, G = plan.num_tiles, plan.rowsize, plan.G
             self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
             self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
@@ -497,11 +563,11 @@ class DevicePlan:
                              self.vals[0], self.vals[1], x,
                              c.S, c.G, c.KS, c.K128, c.T,
                              c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                             c.static, c.interpret)
+                             c.static, c.ks_slot, c.nacc, c.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
                           x, c.S, c.G, c.KS, c.K128, c.T,
                           c.nx128, c.lead, c.slope, c.unroll, c.static,
-                          c.interpret)
+                          c.ks_slot, c.nacc, c.interpret)
 
     def apply_pair(self, xh, xl):
         """fp64 SpMV on pre-split (hi, lo) f32 vectors, returning the
@@ -513,7 +579,7 @@ class DevicePlan:
                               self.vals[0], self.vals[1], xh, xl,
                               c.S, c.G, c.KS, c.K128, c.T,
                               c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                              c.static, c.interpret)
+                              c.static, c.ks_slot, c.nacc, c.interpret)
 
 
 def _dp_flatten(dp):
@@ -529,34 +595,35 @@ jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
-                                             "unroll", "static",
-                                             "interpret"))
+                                             "unroll", "static", "ks_slot",
+                                             "nacc", "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
-               lead=0, slope=0, unroll=False, static=False,
-               interpret=False):
+               lead=0, slope=0, unroll=False, static=False, ks_slot=None,
+               nacc=1, interpret=False):
     x = x.astype(jnp.float32)
     x2d = jnp.pad(x, (lead * 128,
                       nx128 * 128 - lead * 128 - x.shape[0])
                   ).reshape(nx128, 128)
     y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope,
-                 unroll, static, interpret)
+                 unroll, static, ks_slot, nacc, interpret)
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
                                              "unroll", "fastdd", "static",
+                                             "ks_slot", "nacc",
                                              "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
               nx128, lead=0, slope=0, unroll=False, fastdd=False,
-              static=False, interpret=False):
+              static=False, ks_slot=None, nacc=1, interpret=False):
     xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                      S, G, KS, K128, T, slope, unroll, fastdd, static,
-                     interpret)
+                     ks_slot, nacc, interpret)
     return (yh.reshape(-1).astype(jnp.float64)
             + yl.reshape(-1).astype(jnp.float64))
 
@@ -564,16 +631,18 @@ def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
                                              "unroll", "fastdd", "static",
+                                             "ks_slot", "nacc",
                                              "interpret"))
 def _dd_apply_pair(wbase128, qb, lcol, vals_h, vals_l, xh, xl,
                    S, G, KS, K128, T, nx128, lead=0, slope=0, unroll=False,
-                   fastdd=False, static=False, interpret=False):
+                   fastdd=False, static=False, ks_slot=None, nacc=1,
+                   interpret=False):
     pad = (lead * 128, nx128 * 128 - lead * 128 - xh.shape[0])
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      jnp.pad(xh, pad).reshape(nx128, 128),
                      jnp.pad(xl, pad).reshape(nx128, 128),
                      S, G, KS, K128, T, slope, unroll, fastdd, static,
-                     interpret)
+                     ks_slot, nacc, interpret)
     return yh.reshape(-1), yl.reshape(-1)
 
 
@@ -595,33 +664,52 @@ def get_plan(ell, **kw):
             plan is None or plan_mod.estimate_cycles(cand, vb, dd)
             < plan_mod.estimate_cycles(plan, vb, dd))
 
-    # slot reassignment candidates: offset buckets shrink windows when rows
-    # are partially filled (stencil boundaries, FEM surfaces); column
-    # buckets confine each slot's resident-x scan to its own column band
-    # (random/power-law matrices)
-    for key in ("offset", "column"):
-        ell2 = plan_mod.rebucket_slots(ell, key=key)
+    def good_enough():
+        # a plan scanning ~the 2-block floor (the 128-row j-term crosses
+        # one boundary) has nothing left for more candidates to win
+        return (plan is not None and plan.KS <= 3
+                and float(plan.qb[:, 1, :].mean()) <= 2.2)
+
+    # Slot reassignment candidates, cheapest-win-first: offset buckets
+    # shrink windows when rows are partially filled (stencil boundaries,
+    # FEM surfaces); widened offset buckets give FULL rows slack — with
+    # `u` = one slot per distinct diagonal the minimal-padding exact
+    # widening for stencil/mesh matrices; column buckets confine each
+    # slot's resident-x scan to its own column band (random/power-law).
+    # The search stops as soon as the winner is at the ~2-step scan floor.
+    S = ell.rowsize
+    cap = plan_mod.MAX_ROWSIZE
+    square = ell.num_rows == ell.num_columns
+    candidates = [("offset", None)]
+    if square and S > 1:
+        cols_s = np.asarray(ell.colidx)
+        vals_s = np.asarray(ell.values)
+        offs = (cols_s.astype(np.int64)
+                - np.arange(cols_s.shape[0])[:, None])[vals_s != 0]
+        if offs.size > 2_000_000:
+            offs = offs[:: offs.size // 2_000_000]
+        u = len(np.unique(offs))
+        if S < u <= min(4 * S, cap):
+            candidates.append(("offset", u))
+    candidates += [("offset", min(2 * S, cap)), ("column", None),
+                   ("column", min(2 * S, cap)),
+                   ("offset", min(4 * S, cap)),
+                   ("column", min(4 * S, cap))]
+    seen = set()
+    for key, widen in candidates:
+        if good_enough():
+            break
+        if key == "offset" and not square:
+            continue
+        if widen is not None and (widen <= S or (key, widen) in seen):
+            continue
+        seen.add((key, widen))
+        ell2 = plan_mod.rebucket_slots(ell, key=key, widen_to=widen)
         if ell2 is ell:
             continue
         plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
         if better(plan2):
             plan = plan2
-    # when the winner is still scan-bound (wide per-slot gather spans:
-    # random columns, near-full rows), widen the slot space so column
-    # bucketing has slack — trades padding storage for an S-fold scan cut
-    S = ell.rowsize
-    cap = plan_mod.MAX_ROWSIZE
-    if plan is None or float(plan.qb[:, 1, :].mean()) > 8.0:
-        for s_out in {min(2 * S, cap), min(4 * S, cap)}:
-            if s_out <= S:
-                continue
-            ell2 = plan_mod.rebucket_slots(ell, key="column",
-                                           widen_to=s_out)
-            if ell2 is ell:
-                continue
-            plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
-            if better(plan2):
-                plan = plan2
     if plan is None:
         object.__setattr__(ell, _PLAN_ATTR, "unsupported")
         return None

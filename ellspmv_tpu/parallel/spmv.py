@@ -363,7 +363,8 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
 import collections
 
 _PlanDims = collections.namedtuple(
-    "_PlanDims", "S G KS K128 nx128 lead slope static unroll T_local dd m")
+    "_PlanDims",
+    "S G KS K128 nx128 lead slope static unroll T_local dd m ks_slot")
 _PlanParts = collections.namedtuple("_PlanParts", "wb qb lcol vals dims")
 
 
@@ -400,12 +401,19 @@ def _sharded_plan(sm: ShardedMatrix) -> "_PlanParts | None":
     assert plan.num_tiles % n_dev == 0
     mesh = sm.mesh
     axis = mesh.axis_names[0]
+    import os as _os
+    from ellspmv_tpu.ops.ell_pallas import _slots_unrolled
+    unroll = plan.KS <= 16
+    ks_slot = None
+    if (unroll and _slots_unrolled(plan.rowsize, plan.KS) and plan.qb.size
+            and _os.environ.get("ELLSPMV_TPU_SLOT_KS", "1") != "0"):
+        ks_slot = tuple(int(v) for v in plan.qb[:, 1, :].max(axis=0))
     dims = _PlanDims(
         S=plan.rowsize, G=plan.G, KS=plan.KS, K128=plan.K128,
         nx128=plan.nx128, lead=plan.lead, slope=plan.slope,
-        static=bool(plan.static_window), unroll=plan.KS <= 16,
+        static=bool(plan.static_window), unroll=unroll,
         T_local=plan.num_tiles // n_dev, dd=dd,
-        m=sm._host_ell.num_columns)
+        m=sm._host_ell.num_columns, ks_slot=ks_slot)
     sh = lambda *spec: NamedSharding(mesh, P(*spec))
     T, S, G = plan.num_tiles, plan.rowsize, plan.G
     wb = jax.device_put(jnp.asarray(plan.wbase128), sh(axis))
@@ -476,7 +484,8 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
                 xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                 S, G, KS, K128, T_local, slope=slope, unroll=unroll,
                 fastdd=ell_pallas.fma_contraction_available(),
-                static=static, interpret=interpret)
+                static=static, ks_slot=d_.ks_slot, nacc=2,
+                interpret=interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
         else:
@@ -484,7 +493,8 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             acc = ell_pallas._run_f32(
                 wb_blk, qb_blk, lcol_blk, v_blk, x2d,
                 S, G, KS, K128, T_local, slope=slope, unroll=unroll,
-                static=static, interpret=interpret
+                static=static, ks_slot=d_.ks_slot, nacc=2,
+                interpret=interpret
             ).reshape(-1)[:sm.block].astype(y_blk.dtype)
         if maybe_diag:
             gi = start[0] + jnp.arange(sm.block, dtype=jnp.int32)
