@@ -390,7 +390,8 @@ def _sharded_plan(sm: ShardedMatrix) -> "_PlanParts | None":
         return reject()
     dd = val_dt == np.dtype(np.float64)
     n_dev = sm.mesh.devices.size
-    tiles = [t for t in (1024, 512, 256, 128) if sm.block % t == 0]
+    tiles = [t for t in (8192, 4096, 2048, 1024, 512, 256, 128)
+             if sm.block % t == 0]
     if not tiles:
         return reject()
     plan = plan_mod.best_plan(
