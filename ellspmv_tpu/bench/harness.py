@@ -96,6 +96,18 @@ class SpmvMetrics:
                 num_flops=2 * work,
                 min_bytes=n * sv + m * sv + work * (4 + sv),
                 max_bytes=n * sv + work * (4 + 2 * sv))
+        from ellspmv_tpu.formats.stream import StreamMatrix
+        if isinstance(matrix, StreamMatrix):
+            # padding-free: every stored entry is moved once as a 4-byte
+            # key + value through the sort and once through the sum kernel
+            sv = np.dtype(matrix.values.dtype).itemsize
+            n, m = matrix.num_rows, matrix.num_columns
+            work = matrix.worksize
+            return SpmvMetrics(
+                num_nonzeros=matrix.num_nonzeros,
+                num_flops=2 * work,
+                min_bytes=n * sv + m * sv + work * (4 + sv),
+                max_bytes=n * sv + work * (4 + 2 * sv))
         from ellspmv_tpu.formats.dia import DiaMatrix
         if isinstance(matrix, DiaMatrix):
             # DIA accounting (no reference analogue): stored diagonal values

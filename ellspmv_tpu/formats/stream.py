@@ -1,0 +1,171 @@
+"""Stream format: sort-based SpMV for matrices with no column locality.
+
+Power-law / web matrices (BASELINE configs[3], e.g. webbase-1M) defeat
+windowed-gather kernels: their columns are globally random, so per-slot
+gather windows span the whole x image. The reference's CPU kernels simply
+eat the random loads (csrspmv.c:1590-1592); on TPU a random XLA element
+gather runs ~80M elements/s while `lax.sort` moves >700M/s. The
+TPU-native answer is to restructure SpMV as dense streaming passes plus
+ONE runtime sort:
+
+1. entries are stored sorted by COLUMN (a static layout decision), so the
+   existing Pallas windowed kernel computes all products `a_k * x[col_k]`
+   with tile-local x windows (consecutive sorted columns span ~one 128
+   block) — this is just an `ellspmv_tpu` ELL plan with rowsize 1 over an
+   (nnz x 1) matrix;
+2. one `lax.sort` by a precomputed destination key delivers the products
+   grouped by row tile/slot (`ops/stream_sum.py`);
+3. a Pallas segmented-sum kernel reduces them to row sums in
+   double-double, and a final n-sized key sort restores natural row
+   order.
+
+Semantics are the uniform `y := A*x + y` (SURVEY §7), with optional split
+diagonal (ellgemvsd's `y[i] += ad[i]*x[i]`, ellspmv.c:1177).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ellspmv_tpu.formats.coo import CooMatrix
+from ellspmv_tpu.formats.ell import EllMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamMatrix:
+    """Column-sorted product plan + stream-sum plan. A pytree, so it can
+    ride through jit as an argument (matrix data never becomes compiled-in
+    constants)."""
+
+    prod: object                        # DevicePlan over the (nnz, 1) ELL
+    prod_cols: Optional[jax.Array]      # XLA fallback when prod is None
+    prod_vals: Optional[jax.Array]
+    ddsum: object                       # StreamSumPlan
+    diag: Optional[jax.Array]
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_columns: int = dataclasses.field(metadata=dict(static=True))
+    num_nonzeros: int = dataclasses.field(metadata=dict(static=True))
+    dd: bool = dataclasses.field(metadata=dict(static=True))
+    prod_len: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def values(self):
+        # dtype carrier for the bench harness / CLI reporting
+        return np.zeros(0, np.float64 if self.dd else np.float32)
+
+    @property
+    def worksize(self) -> int:
+        """Stored slots (= nnz: the format is padding-free)."""
+        return self.num_nonzeros
+
+    def device_put(self, value_dtype=None) -> "StreamMatrix":
+        return jax.tree_util.tree_map(jnp.asarray, self)
+
+
+def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
+                    value_dtype=None, cap: int = 128) -> StreamMatrix:
+    """Build the stream plan: column-sort the entries, plan the rowsize-1
+    product kernel, and build the (possibly multi-level) sum plan."""
+    from ellspmv_tpu.ops import ell_pallas
+    from ellspmv_tpu.ops import plan as plan_mod
+    from ellspmv_tpu.ops.stream_sum import build_stream_sum
+
+    coo = coo.expand_symmetry()
+    n, m = coo.num_rows, coo.num_columns
+    nnz_total = coo.num_nonzeros
+
+    diag = None
+    if separate_diagonal:
+        coo, diag = coo.split_diagonal()
+    nnz = coo.num_nonzeros
+
+    val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
+    dd = val_dt == np.dtype(np.float64)
+
+    order = np.argsort(coo.colidx, kind="stable")
+    cols = coo.colidx[order].astype(np.int32)
+    vals = coo.values[order].astype(val_dt)
+    rows = coo.rowidx[order].astype(np.int64)
+
+    # rowsize-1 ELL over the sorted entries: the product kernel
+    n_pad0 = max(_round_up(nnz, 8), 8)
+    pad_col = np.int32(cols[-1]) if nnz else np.int32(0)
+    pcol = np.full((n_pad0, 1), pad_col, np.int32)
+    pval = np.zeros((n_pad0, 1), val_dt)
+    if nnz:
+        pcol[:nnz, 0] = cols
+        pval[:nnz, 0] = vals
+    prod_ell = EllMatrix(colidx=pcol, values=pval, diag=None,
+                        num_rows=n_pad0, num_columns=m,
+                        num_nonzeros=nnz)
+    plan = plan_mod.best_plan(prod_ell,
+                              value_dtype=np.float64 if dd else np.float32)
+    if plan is not None:
+        dp = ell_pallas.DevicePlan(prod_ell, plan, dd)
+        prod_len = plan.n_pad
+        prod_cols = prod_vals = None
+    else:
+        dp = None
+        prod_len = max(_round_up(nnz, 1024), 1024)
+        prod_cols = jnp.asarray(np.pad(cols, (0, prod_len - nnz)))
+        pv = np.zeros(prod_len, val_dt)
+        pv[:nnz] = vals
+        prod_vals = jnp.asarray(pv)
+
+    dest = np.full(prod_len, -1, np.int64)
+    dest[:nnz] = rows
+    ddsum = build_stream_sum(dest, n_rows=n, cap=cap).device_put()
+
+    if diag is not None:
+        d = np.zeros(n, val_dt)
+        d[:len(diag)] = diag.astype(val_dt)
+        diag = jnp.asarray(d)
+
+    return StreamMatrix(prod=dp, prod_cols=prod_cols, prod_vals=prod_vals,
+                        ddsum=ddsum, diag=diag,
+                        num_rows=n, num_columns=m,
+                        num_nonzeros=nnz_total, dd=dd, prod_len=prod_len)
+
+
+def stream_spmv(sm: StreamMatrix, x, y=None):
+    """y := A*x + y via products -> sort -> segmented sums."""
+    from ellspmv_tpu.ops.stream_sum import apply_stream_sum
+
+    interpret = jax.devices()[0].platform != "tpu"
+    x = jnp.asarray(x)
+    n = sm.num_rows
+    if sm.dd:
+        x = x.astype(jnp.float64)
+        if sm.prod is not None:
+            xh = x.astype(jnp.float32)
+            xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+            ph, plo = sm.prod.apply_pair(xh, xl)
+        else:
+            p = sm.prod_vals * x[sm.prod_cols]
+            ph = p.astype(jnp.float32)
+            plo = (p - ph.astype(jnp.float64)).astype(jnp.float32)
+        yh, yl = apply_stream_sum(sm.ddsum, ph, plo, interpret=interpret)
+        out = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    else:
+        x = x.astype(jnp.float32)
+        if sm.prod is not None:
+            p = sm.prod(x)
+        else:
+            p = sm.prod_vals * x[sm.prod_cols]
+        out = apply_stream_sum(sm.ddsum, p, interpret=interpret)
+    if sm.diag is not None:
+        xi = jnp.minimum(jnp.arange(n), max(sm.num_columns - 1, 0))
+        out = out + sm.diag * x.astype(out.dtype)[xi]
+    if y is not None:
+        out = out + jnp.asarray(y).astype(out.dtype)
+    return out

@@ -8,6 +8,7 @@ from ellspmv_tpu.formats.dia import DiaMatrix, dia_spmv
 from ellspmv_tpu.formats.ell import EllMatrix
 from ellspmv_tpu.formats.hybrid import HybridMatrix, hybrid_spmv
 from ellspmv_tpu.formats.sell import SellMatrix, sell_spmv
+from ellspmv_tpu.formats.stream import StreamMatrix, stream_spmv
 
 
 def spmv(matrix, x, y=None, backend: str = "auto"):
@@ -23,6 +24,8 @@ def spmv(matrix, x, y=None, backend: str = "auto"):
         return sell_spmv(matrix, x, y, backend=backend)
     if isinstance(matrix, HybridMatrix):
         return hybrid_spmv(matrix, x, y, backend=backend)
+    if isinstance(matrix, StreamMatrix):
+        return stream_spmv(matrix, x, y)
     if isinstance(matrix, EllMatrix):
         if backend in ("auto", "pallas"):
             from ellspmv_tpu.ops import ell_pallas
@@ -85,6 +88,9 @@ def traceable_spmv(matrix, backend: str = "auto"):
         if backend == "pallas":
             raise ValueError("pallas backend unsupported for this "
                              "matrix/platform")
+    if isinstance(matrix, StreamMatrix):
+        # already a pytree whose arrays travel as jit arguments
+        return matrix, lambda m, x, y=None: stream_spmv(m, x, y)
     if isinstance(matrix, HybridMatrix):
         hub_pair = (None if matrix.hub is None
                     else traceable_spmv(matrix.hub, backend=backend))

@@ -1,0 +1,418 @@
+"""Stream-sum: per-row sums of a value stream with a STATIC entry→row map.
+
+This is the reassembly half of the sort-based SpMV path for matrices with
+no column locality (power-law / webbase-class, BASELINE configs[3]).  The
+reference has no analogue — its CPU gathers tolerate random access
+(csrspmv.c:1590-1592); on TPU a random XLA element gather runs at ~80M
+elements/s while `lax.sort` moves >700M/s — so the TPU-native design turns
+the random access into one sort plus dense passes:
+
+- every entry's destination row is known at *plan* time, so each entry gets
+  a static sort key = its virtual position in a row-tiled, slot-major
+  layout (rows sigma-sorted by descending count, tiles of R=1024 rows
+  bucketed by pow2 slot count — the SELL-sigma idea applied to a sum
+  schedule instead of a storage format);
+- ONE runtime `lax.sort` by those keys delivers every (tile, slot) group
+  as a contiguous run of the value stream, ordered by lane;
+- a Pallas kernel walks the runs: per slot it realigns the run onto the
+  (G, 128) lane grid (two lane-gathers — rows within a tile are sorted by
+  descending count, so slot s occupies lanes [0, c_ts): a pure prefix) and
+  accumulates in double-double;
+- rows longer than `cap` entries are split into sub-rows and the sub-sums
+  feed a recursively built next level; the final level's output is put in
+  natural row order by one more (n-sized) key sort.
+
+Cost: sort(nnz) + ~Sigma_tiles(S_t) VPU slot steps — for 1M random-column
+entries ~1 ms total where the windowed-scan kernel needs >20 ms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ellspmv_tpu.ops.ell_pallas import _dd_add, _i0, _lane_gather
+
+_I32_SENTINEL = np.int32(np.iinfo(np.int32).max)   # pads sort to the end
+G = 8                # 128-row groups per tile (R = G*128 = 1024)
+R = G * 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel: one bucket (uniform slot count S) of tiles.
+# --------------------------------------------------------------------------
+
+def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2):
+    """Per tile: DMA the window of the sorted value stream covering the
+    tile's runs (double-buffered), then for each slot s place run
+    [o_ts, o_ts + c_ts) onto lanes [0, c_ts) of the (G, 128) accumulator
+    (unaligned start handled by two lane-gathers) and add."""
+
+    unroll = S <= 16
+
+    def kernel(es_ref, oc_ref, *rest):
+        if dd:
+            sh_ref, sl_ref, yh_ref, yl_ref, win_h, win_l, sem_h, sem_l = rest
+        else:
+            sv_ref, y_ref, win, sem = rest
+        i = pl.program_id(0)
+        buf = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+        sbase = buf * jnp.int32(K)
+
+        def dmas(b, tile):
+            dst = pl.ds(b * jnp.int32(K), K)
+            src = pl.ds(es_ref[tile], K)
+            if dd:
+                return (pltpu.make_async_copy(sh_ref.at[src], win_h.at[dst],
+                                              sem_h.at[b]),
+                        pltpu.make_async_copy(sl_ref.at[src], win_l.at[dst],
+                                              sem_l.at[b]))
+            return (pltpu.make_async_copy(sv_ref.at[src], win.at[dst],
+                                          sem.at[b]),)
+
+        @pl.when(i == 0)
+        def _():
+            for c in dmas(buf, i):
+                c.start()
+
+        @pl.when(i + 1 < T)
+        def _():
+            for c in dmas(nxt, i + jnp.int32(1)):
+                c.start()
+
+        for c in dmas(buf, i):
+            c.wait()
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+        flat_i = (jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0)
+                  * jnp.int32(128) + lane_i)
+
+        def slot_step(s, acc, acc_l):
+            o = oc_ref[0, 0, s]
+            c = oc_ref[0, 1, s]
+            osub = jax.lax.shift_right_logical(o, jnp.int32(7))
+            r = jax.lax.bitwise_and(o, jnp.int32(127))
+            lane = jax.lax.bitwise_and(lane_i + r, jnp.int32(127))
+            from_a = lane_i < jnp.int32(128) - r
+            mask = flat_i < c
+
+            def take(w):
+                # element o + g*128 + l sits at window row osub + g
+                # (+1 when the lane wraps); K guarantees osub+1+G <= K+slack
+                a = w[pl.ds(sbase + osub, G)]
+                b = w[pl.ds(sbase + osub + jnp.int32(1), G)]
+                v = jnp.where(from_a, _lane_gather(a, lane),
+                              _lane_gather(b, lane))
+                return jnp.where(mask, v, jnp.float32(0))
+
+            if dd:
+                return _dd_add(acc, acc_l, take(win_h), take(win_l))
+            return acc + take(win), acc_l
+
+        zero = lambda: jnp.zeros((G, 128), jnp.float32)
+        if unroll:
+            na = max(1, min(nacc, S))
+            accs = [(zero(), zero() if dd else jnp.float32(0))
+                    for _ in range(na)]
+            for s in range(S):
+                accs[s % na] = slot_step(s, *accs[s % na])
+            acc, acc_l = accs[0]
+            for a2, a2l in accs[1:]:
+                if dd:
+                    acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                else:
+                    acc = acc + a2
+        else:
+            acc, acc_l = jax.lax.fori_loop(
+                0, S, lambda s, c_: slot_step(s, *c_),
+                (zero(), zero() if dd else jnp.float32(0)))
+        if dd:
+            yh_ref[0, :, :] = acc
+            yl_ref[0, :, :] = acc_l
+        else:
+            y_ref[0, :, :] = acc
+
+    return kernel
+
+
+def _sum_specs(S, n_stream, n_out):
+    def im3(i, *_):
+        return (i, _i0(), _i0())
+
+    in_specs = ([pl.BlockSpec((1, 2, S), im3, memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pl.ANY)] * n_stream)
+    outs = [pl.BlockSpec((1, G, 128), im3, memory_space=pltpu.VMEM)
+            for _ in range(n_out)]
+    return in_specs, (outs if n_out > 1 else outs[0])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "K", "T", "interpret"))
+def _runsum_dd(estart, oc, sh, sl, S, K, T, interpret=False):
+    in_specs, out_specs = _sum_specs(S, 2, 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * K + 16, 128), jnp.float32),
+            pltpu.VMEM((2 * K + 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_sum_kernel(S, K, T, dd=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
+        interpret=interpret,
+    )(estart, oc, sh, sl)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "K", "T", "interpret"))
+def _runsum_f32(estart, oc, sv, S, K, T, interpret=False):
+    in_specs, out_specs = _sum_specs(S, 1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * K + 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_sum_kernel(S, K, T, dd=False),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+        interpret=interpret,
+    )(estart, oc, sv)
+
+
+# --------------------------------------------------------------------------
+# Host-side plan
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SumBucket:
+    estart: jax.Array | np.ndarray     # (T,) i32 window base row per tile
+    oc: jax.Array | np.ndarray         # (T, 2, S) i32 [run start; count]
+    S: int = dataclasses.field(metadata=dict(static=True))
+    K: int = dataclasses.field(metadata=dict(static=True))
+    T: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SumLevel:
+    keys: jax.Array | np.ndarray       # (in_len,) i32 sort keys
+    buckets: list                      # list[SumBucket]
+    in_rows: int = dataclasses.field(metadata=dict(static=True))
+    out_len: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamSumPlan:
+    levels: list                       # list[SumLevel]
+    final_keys: jax.Array | np.ndarray  # (last out_len,) i32 natural row
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+
+    def device_put(self):
+        return jax.tree_util.tree_map(jnp.asarray, self)
+
+
+def _build_level(dest: np.ndarray, n_rows: int, cap: int):
+    """One sum level. `dest` maps each input position to a row (or -1 for
+    pads). Returns (SumLevel arrays as numpy, out_dest or None). out_dest
+    is None when no row was split (output positions map to final rows)."""
+    E = len(dest)
+    valid = dest >= 0
+    vpos = np.flatnonzero(valid)
+    rows_v = dest[vpos]
+    counts = np.bincount(rows_v, minlength=n_rows).astype(np.int64)
+
+    # rank of each entry within its row, by position order (stable)
+    order = np.argsort(rows_v, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rank_sorted = np.arange(len(vpos)) - starts[rows_v[order]]
+    rank = np.empty(len(vpos), np.int64)
+    rank[order] = rank_sorted
+
+    # split rows longer than cap into sub-rows of <= cap entries
+    nsub = np.maximum(-(-counts // cap), 1)
+    split_any = bool((counts > cap).any())
+    sub_base = np.concatenate([[0], np.cumsum(nsub)])
+    n_vrows = int(sub_base[-1])
+    vrow = sub_base[rows_v] + rank // cap
+    vrank = rank % cap
+    vcounts = np.full(n_vrows, cap, np.int64)
+    last = sub_base[:-1] + nsub - 1
+    vcounts[last] = counts - (nsub - 1) * cap        # 0 for empty rows
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), nsub)
+
+    # sigma: virtual rows by descending count; tiles of R; pow2 buckets
+    sigperm = np.argsort(-vcounts, kind="stable")    # vrow at sig position
+    sig_of = np.empty(n_vrows, np.int64)
+    sig_of[sigperm] = np.arange(n_vrows)
+    n_sig = max(_round_up(n_vrows, R), R)
+    T_all = n_sig // R
+    counts_sig = np.zeros(n_sig, np.int64)
+    counts_sig[:n_vrows] = vcounts[sigperm]
+    S_tile = counts_sig.reshape(T_all, R)[:, 0]      # descending => max
+    S_bucket_of = np.array([_pow2ceil(max(int(s), 1)) for s in S_tile])
+
+    bucket_sizes = sorted(set(int(b) for b in S_bucket_of))
+    # concat order: bucket-major, sigma-tile order within bucket
+    tiles_by_bucket = {S: np.flatnonzero(S_bucket_of == S)
+                       for S in bucket_sizes}
+    ct_of_tile = np.empty(T_all, np.int64)
+    pos = 0
+    for S in bucket_sizes:
+        tl = tiles_by_bucket[S]
+        ct_of_tile[tl] = pos + np.arange(len(tl))
+        pos += len(tl)
+
+    # per-(tile, slot) counts via a per-tile count histogram (rows in a
+    # tile are descending, so slot s's lanes are the prefix [0, c_ts))
+    capp = max(bucket_sizes)
+    H = np.zeros((T_all, capp + 2), np.int64)
+    tile_of_sig = np.arange(n_sig) // R
+    np.add.at(H, (tile_of_sig[:n_vrows],
+                  np.clip(counts_sig[:n_vrows], 0, capp + 1)), 1)
+    suffix = H[:, ::-1].cumsum(axis=1)[:, ::-1]      # suffix[t,v] = #(>= v)
+
+    # run starts: exclusive cumsum over (bucket, tile, slot)
+    buckets_np = []
+    run_base = 0
+    key_base_of_tile = np.zeros(T_all, np.int64)
+    o_global_of_tile = {}
+    vspace = 0
+    for S in bucket_sizes:
+        tl = tiles_by_bucket[S]
+        key_base_of_tile[tl] = vspace + np.arange(len(tl)) * (S * R)
+        vspace += len(tl) * S * R
+        c = suffix[tl][:, 1:S + 1]                   # (T_b, S): #(> s)
+        o = run_base + np.concatenate(
+            [[0], np.cumsum(c.ravel())[:-1]]).reshape(len(tl), S)
+        run_base += int(c.sum())
+        o_global_of_tile[S] = (o, c)
+    assert run_base == len(vpos)
+
+    if vspace + 1 >= np.iinfo(np.int32).max:
+        raise ValueError("stream-sum virtual key space exceeds int32")
+
+    # entry sort keys
+    keys = np.full(E, _I32_SENTINEL, np.int32)
+    tg = sig_of[vrow] // R
+    lane = sig_of[vrow] % R
+    keys[vpos] = (key_base_of_tile[tg] + vrank * R + lane).astype(np.int32)
+
+    # per-bucket kernel metadata
+    in_rows_needed = _round_up(max(E, 1), 128) // 128
+    for S in bucket_sizes:
+        tl = tiles_by_bucket[S]
+        o, c = o_global_of_tile[S]
+        end = o[:, -1] + c[:, -1]                    # exclusive run end
+        wrow = np.maximum((o[:, 0] >> 7) & ~7, 0)
+        K = int(np.max(-(-(end - wrow * 128) // 128) + G + 2)) \
+            if len(tl) else G + 2
+        K = _round_up(max(K, 8), 8)
+        in_rows_needed = max(in_rows_needed, int(np.max(wrow)) + K
+                             if len(tl) else 0)
+        oc = np.stack([(o - wrow[:, None] * 128), c], axis=1)
+        buckets_np.append(SumBucket(
+            estart=wrow.astype(np.int32), oc=oc.astype(np.int32),
+            S=S, K=K, T=len(tl)))
+
+    out_len = T_all * R
+    level = SumLevel(keys=keys, buckets=buckets_np,
+                     in_rows=in_rows_needed, out_len=out_len)
+
+    # map output positions to the next level's dest (or final rows)
+    ct_inv = np.empty(T_all, np.int64)
+    ct_inv[ct_of_tile] = np.arange(T_all)            # concat tile -> tile
+    pos_tile = np.repeat(ct_inv, R)                  # per output position
+    pos_lane = np.tile(np.arange(R), T_all)
+    sig_pos = pos_tile * R + pos_lane
+    vr = np.where(sig_pos < n_vrows, sigperm[np.minimum(sig_pos,
+                                                        n_vrows - 1)], -1)
+    if not split_any:
+        final = np.where(vr >= 0, vr, _I32_SENTINEL).astype(np.int32)
+        return level, None, final
+    out_dest = np.where(vr >= 0, parent[np.maximum(vr, 0)], -1)
+    return level, out_dest, None
+
+
+def build_stream_sum(dest: np.ndarray, n_rows: int,
+                     cap: int = 128) -> StreamSumPlan:
+    """Build the (possibly multi-level) sum plan for a value stream whose
+    position k carries an addend for row `dest[k]` (-1 = padding)."""
+    levels = []
+    cur = np.asarray(dest, np.int64)
+    while True:
+        level, nxt, final = _build_level(cur, n_rows, cap)
+        levels.append(level)
+        if nxt is None:
+            return StreamSumPlan(levels=levels, final_keys=final,
+                                 num_rows=n_rows)
+        cur = nxt
+
+
+def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
+    """Run the plan: returns per-row sums in natural row order — (hi, lo)
+    f32 pair when `vl` is given (double-double), else a single f32 array."""
+    dd = vl is not None
+    for lv in plan.levels:
+        keys = jnp.asarray(lv.keys)
+        if dd:
+            _, vh, vl = jax.lax.sort((keys, vh, vl), num_keys=1,
+                                     is_stable=False)
+        else:
+            _, vh = jax.lax.sort((keys, vh), num_keys=1, is_stable=False)
+        pad = lv.in_rows * 128 - vh.shape[0]
+        sh = jnp.pad(vh, (0, pad)).reshape(lv.in_rows, 128)
+        if dd:
+            sl = jnp.pad(vl, (0, pad)).reshape(lv.in_rows, 128)
+        outs_h, outs_l = [], []
+        for b in lv.buckets:
+            es = jnp.asarray(b.estart)
+            oc = jnp.asarray(b.oc)
+            if dd:
+                oh, ol = _runsum_dd(es, oc, sh, sl, S=b.S, K=b.K, T=b.T,
+                                    interpret=interpret)
+                outs_l.append(ol.reshape(-1))
+            else:
+                oh = _runsum_f32(es, oc, sh, S=b.S, K=b.K, T=b.T,
+                                 interpret=interpret)
+            outs_h.append(oh.reshape(-1))
+        vh = jnp.concatenate(outs_h)
+        if dd:
+            vl = jnp.concatenate(outs_l)
+    fk = jnp.asarray(plan.final_keys)
+    n = plan.num_rows
+    if dd:
+        _, vh, vl = jax.lax.sort((fk, vh, vl), num_keys=1, is_stable=False)
+        return vh[:n], vl[:n]
+    _, vh = jax.lax.sort((fk, vh), num_keys=1, is_stable=False)
+    return vh[:n]

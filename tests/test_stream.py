@@ -1,0 +1,129 @@
+"""Stream (sort-based) SpMV: the TPU-native path for matrices with no
+column locality (power-law / webbase, BASELINE configs[3]).
+
+Kernels run in Pallas interpret mode on CPU. CAVEAT (documented in
+BENCH_NOTES): under interpret mode XLA fuses the kernel internals into the
+surrounding program and can rewrite the double-double error-free
+transforms, so fp64 results here are compared at f32-level tolerance; the
+true <=1e-13 behavior is verified on hardware by the bench oracle checks.
+"""
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.formats.stream import stream_from_coo, stream_spmv
+from ellspmv_tpu.ops.reference import coo_spmv_numpy
+from tests.conftest import random_coo
+
+
+def _check(coo, value_dtype, rng, y=None, rtol=None, sep_diag=False):
+    sm = stream_from_coo(coo, value_dtype=value_dtype,
+                         separate_diagonal=sep_diag)
+    x = rng.rand(coo.num_columns)
+    got = np.asarray(stream_spmv(sm, x, y), np.float64)
+    want = coo_spmv_numpy(coo.expand_symmetry(), x,
+                          None if y is None else np.asarray(y, np.float64))
+    if rtol is None:
+        rtol = 2e-4 if value_dtype == np.float32 else 5e-5
+    scale = max(np.max(np.abs(want), initial=0.0), 1.0)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+    return sm
+
+
+def test_stream_random_rect(rng):
+    coo = random_coo(rng, 700, 500, 4000)
+    _check(coo, np.float64, rng)
+
+
+def test_stream_random_f32(rng):
+    coo = random_coo(rng, 600, 600, 5000)
+    _check(coo, np.float32, rng)
+
+
+def test_stream_accumulates_y(rng):
+    coo = random_coo(rng, 300, 400, 2500)
+    y = rng.randn(300)
+    _check(coo, np.float64, rng, y=y)
+
+
+def test_stream_duplicates_accumulate(rng):
+    coo = random_coo(rng, 100, 100, 1500, with_dups=True)
+    _check(coo, np.float64, rng)
+
+
+def test_stream_symmetric_expands(rng):
+    coo = random_coo(rng, 250, 250, 1200, symmetric=True)
+    _check(coo, np.float64, rng)
+
+
+def test_stream_separate_diagonal(rng):
+    coo = random_coo(rng, 200, 200, 1500)
+    _check(coo, np.float64, rng, sep_diag=True)
+
+
+def test_stream_long_rows_recurse(rng):
+    """Rows longer than the 128-entry slot cap split into sub-rows and the
+    sub-sums feed a second stream-sum level."""
+    n = 500
+    # two hub rows with ~1500 entries each, plus background
+    rows = np.concatenate([np.full(1500, 7), np.full(1400, 200),
+                           rng.randint(0, n, 3000)]).astype(np.int32)
+    cols = rng.randint(0, n, rows.shape[0]).astype(np.int32)
+    vals = rng.randn(rows.shape[0])
+    from ellspmv_tpu.formats.coo import CooMatrix
+    coo = CooMatrix(n, n, rows, cols, vals)
+    sm = _check(coo, np.float64, rng)
+    assert len(sm.ddsum.levels) >= 2
+
+
+def test_stream_empty_rows_and_matrix(rng):
+    from ellspmv_tpu.formats.coo import CooMatrix
+    # rows 3 and 5 empty
+    rows = np.array([0, 1, 2, 4, 4], np.int32)
+    cols = np.array([1, 0, 3, 2, 4], np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    coo = CooMatrix(6, 5, rows, cols, vals)
+    _check(coo, np.float64, rng)
+    empty = CooMatrix(4, 4, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                      np.zeros(0))
+    sm = stream_from_coo(empty, value_dtype=np.float64)
+    out = np.asarray(stream_spmv(sm, np.ones(4)))
+    np.testing.assert_array_equal(out, np.zeros(4))
+
+
+def test_stream_sum_exact_small_ints(rng):
+    """Host-plan invariants: with small-integer f32 values every sum is
+    exact, so the full pipeline must reproduce numpy bincount exactly."""
+    from ellspmv_tpu.ops.stream_sum import apply_stream_sum, build_stream_sum
+    n = 300
+    E = 5000
+    dest = rng.randint(0, n, E).astype(np.int64)
+    dest[rng.rand(E) < 0.05] = -1                      # pad positions
+    # force some rows over the cap so a second level builds
+    dest[:400] = 11
+    E_pad = -(-E // 1024) * 1024
+    dest = np.pad(dest, (0, E_pad - E), constant_values=-1)
+    vals = rng.randint(-8, 9, E_pad).astype(np.float32)
+    plan = build_stream_sum(dest, n_rows=n)
+    assert len(plan.levels) >= 2
+    got = np.asarray(apply_stream_sum(plan, np.asarray(vals),
+                                      interpret=True))
+    want = np.bincount(dest[dest >= 0], weights=vals[dest >= 0],
+                       minlength=n).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_dispatch_and_bench(rng):
+    from ellspmv_tpu.bench.harness import benchmark_spmv
+    from ellspmv_tpu.ops import spmv
+
+    coo = random_coo(rng, 400, 400, 3000)
+    sm = stream_from_coo(coo, value_dtype=np.float64)
+    x = rng.rand(400)
+    got = np.asarray(spmv(sm, x))
+    want = coo_spmv_numpy(coo, x)
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+    res = benchmark_spmv(None, sm, x, repeat=2, warmup=1,
+                         protocol="chained")
+    assert res.best > 0
+    assert res.metrics.num_nonzeros == coo.num_nonzeros
