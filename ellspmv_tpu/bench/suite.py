@@ -106,20 +106,32 @@ def run_suite(quick: bool = False, as_json: bool = False,
     record("config2 banded 16/row CSR f64", _bench(csr, x, 32),
            note="segment-sum")
 
-    # --- config 3: power-law hybrid --------------------------------------
-    from ellspmv_tpu.formats.hybrid import hybrid_from_coo
+    # --- config 3: power-law ---------------------------------------------
+    from ellspmv_tpu.formats.stream import stream_from_coo, stream_spmv
     n = 1_000_000 // scale
     coo = power_law(n, 8, seed=0)
     x = np.random.RandomState(2).rand(n)
-    hyb = hybrid_from_coo(coo, value_dtype=np.float64).device_put()
     ell_pad = ell_from_coo(coo, value_dtype=np.float64)
-    work = (hyb.rest.sellsize + hyb.rest.tailsize
-            + (0 if hyb.hub is None
-               else hyb.hub.sellsize + hyb.hub.tailsize))
-    note = (f"hub {100 * hyb.hub_nnz_fraction:.0f}%, {work:,} slots vs "
-            f"padded ELL {ell_pad.ellsize:,}")
+    strm = stream_from_coo(coo, value_dtype=np.float64)
+    note = (f"{strm.worksize:,} entries (padding-free) vs padded ELL "
+            f"{ell_pad.ellsize:,} slots, {len(strm.ddsum.levels)} sum "
+            "levels")
+    record("config3 power-law stream f64", _bench(strm, x, 3), note=note)
+    # correctness spot check against the exact host oracle
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    got = np.asarray(stream_spmv(strm, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    normerr = (np.max(np.abs(got - want))
+               / max(np.max(np.abs(want)), 1e-300))
+    stream.write(f"{'config3 stream oracle':34s} normwise err "
+                 f"{normerr:.2e}\n")
+    results.append({"config": "config3 stream oracle",
+                    "normwise_err": float(normerr)})
+    from ellspmv_tpu.formats.hybrid import hybrid_from_coo
+    hyb = hybrid_from_coo(coo, value_dtype=np.float64).device_put()
     record("config3 power-law hub-hybrid f64", _bench(hyb, x, 3),
-           note=note)
+           note=f"hub {100 * hyb.hub_nnz_fraction:.0f}% (windowed-scan "
+                "comparison)")
 
     # --- config 4: sharded SpMV + CG -------------------------------------
     import jax as _jax

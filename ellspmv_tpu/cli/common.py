@@ -78,6 +78,8 @@ class Options:
         self.devices = 1
         self.trace_dir = None
         self.reorder = "none"
+        self.format = None               # ellspmv: ell (default) | dia |
+                                         # sell | hybrid | stream
 
 
 def print_help(program: str, csr: bool, f=None):
@@ -121,7 +123,13 @@ def print_help(program: str, csr: bool, f=None):
     f.write("  --trace=DIR               write a jax.profiler device trace of the\n")
     f.write("                            benchmark loop to DIR (PAPI-region analogue)\n")
     f.write("  --reorder=R               none (default) or rcm: bandwidth-reducing\n")
-    f.write("                            reorder applied internally (output y unchanged)\n\n")
+    f.write("                            reorder applied internally (output y unchanged)\n")
+    if not csr:
+        f.write("  --format=F                ell (default), dia (stencil diagonals),\n")
+        f.write("                            sell (sliced-ELL), hybrid (hub columns +\n")
+        f.write("                            sliced-ELL), or stream (sort-based; for\n")
+        f.write("                            power-law matrices with random columns)\n")
+    f.write("\n")
     f.write("  -h, --help                display this help and exit\n")
     f.write("  --version                 display version information and exit\n")
 
@@ -232,6 +240,12 @@ def parse_args(argv: list[str], program: str, csr: bool) -> Options:
             opts.devices = int(need_value(v, "--devices", i))
         elif (v := _split_eq(arg, "--trace")) is not False:
             opts.trace_dir = need_value(v, "--trace", i)
+        elif not csr and (v := _split_eq(arg, "--format")) is not False:
+            opts.format = need_value(v, "--format", i)
+            if opts.format not in ("ell", "dia", "sell", "hybrid",
+                                   "stream"):
+                raise CliError("--format must be ell, dia, sell, hybrid "
+                               "or stream")
         elif (v := _split_eq(arg, "--reorder")) is not False:
             opts.reorder = need_value(v, "--reorder", i)
             if opts.reorder not in ("none", "rcm"):
@@ -280,6 +294,10 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             or opts.l2_prefetch_distance) and opts.verbose:
         log.write(f"{program}: note: NUMA/A64FX placement options have no "
                   "TPU analogue; ignored\n")
+    if (opts.separate_diagonal and opts.format in ("dia", "sell", "hybrid")
+            and opts.verbose):
+        log.write(f"{program}: note: --format={opts.format} stores the "
+                  "diagonal inline; --separate-diagonal ignored\n")
 
     # Phase 2: read the matrix (timed, like ellspmv.c:1264-1377)
     t0 = time.perf_counter()
@@ -328,6 +346,37 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         convert_name = "csr_from_coo"
         per_row = (f", {mat.rowsize_min} to {mat.rowsize_max} "
                    f"nonzeros per row")
+    elif opts.format == "dia":
+        from ellspmv_tpu.formats.dia import dia_from_coo
+        mat = dia_from_coo(coo, value_dtype=opts.precision)
+        if mat is None:
+            sys.stderr.write(f"{program}: --format=dia: matrix has too "
+                             "many distinct diagonals for DIA\n")
+            return 1
+        convert_name = "dia_from_coo"
+        per_row = f", {mat.data.shape[0]} diagonals"
+    elif opts.format == "sell":
+        from ellspmv_tpu.formats.sell import sell_from_coo
+        mat = sell_from_coo(coo, sort_rows=True, length_sort=True,
+                            value_dtype=opts.precision,
+                            index_dtype=(f"int{opts.index_width}"
+                                         if opts.index_width else None))
+        convert_name = "sell_from_coo"
+        per_row = f", {len(mat.buckets)} slice buckets"
+    elif opts.format == "hybrid":
+        from ellspmv_tpu.formats.hybrid import hybrid_from_coo
+        mat = hybrid_from_coo(coo, value_dtype=opts.precision,
+                              index_dtype=(f"int{opts.index_width}"
+                                           if opts.index_width else None))
+        convert_name = "hybrid_from_coo"
+        per_row = f", hub fraction {mat.hub_nnz_fraction:.2f}"
+    elif opts.format == "stream":
+        from ellspmv_tpu.formats.stream import stream_from_coo
+        mat = stream_from_coo(coo,
+                              separate_diagonal=opts.separate_diagonal,
+                              value_dtype=opts.precision)
+        convert_name = "stream_from_coo"
+        per_row = f", {len(mat.ddsum.levels)} sum levels"
     else:
         mat = ell_from_coo(coo, separate_diagonal=opts.separate_diagonal,
                            sort_rows=opts.sort_rows,
@@ -373,7 +422,8 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             y = reorder_map.permute_x(y)   # same row permutation
 
     mat = mat.device_put()
-    if opts.verbose and not csr and opts.backend in ("auto", "pallas"):
+    if (opts.verbose and not csr and opts.format in (None, "ell")
+            and opts.backend in ("auto", "pallas")):
         import jax as _jax
         if _jax.devices()[0].platform == "tpu":
             from ellspmv_tpu.ops.ell_pallas import get_plan
@@ -395,7 +445,7 @@ def run(argv: list[str], program: str, fmt: str) -> int:
                 mat, opts.devices,
                 partition=opts.partition,
                 rows_per_device=opts.rows_per_thread)
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             sys.stderr.write(f"{program}: {e}\n")
             return 1
         spmv_fn = sharded_spmv_fn(sharded, backend=opts.backend)
@@ -404,8 +454,14 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             for line in sharded.workload_report():
                 log.write(line + "\n")
     else:
-        def spmv_fn(m, xv, yv):
-            return spmv(m, xv, yv, backend=opts.backend)
+        if opts.backend == "auto":
+            # library dispatch (and, for the chained protocol, the
+            # traceable form that keeps matrix data out of the compiled
+            # program's constants — required for non-pytree formats)
+            spmv_fn = None
+        else:
+            def spmv_fn(m, xv, yv):
+                return spmv(m, xv, yv, backend=opts.backend)
         mat_for_bench = mat
 
     # Phase 5: benchmark (warmup + timed loop, ellspmv.c:1745-1876)
@@ -456,6 +512,8 @@ def _kernel_name(fmt: str, opts, mat) -> str:
     """Kernel label in the reference's naming (gemv/gemvsd/gemv16, README:133
     output; csrgemv variants csrspmv.c:2851-2868)."""
     if fmt == "ell":
+        if opts.format not in (None, "ell"):
+            return f"gemv_{opts.format}"
         if opts.separate_diagonal and mat.rowsize == 16:
             return "gemv16"
         return "gemvsd" if opts.separate_diagonal else "gemv"

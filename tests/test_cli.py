@@ -259,3 +259,37 @@ def test_bfloat16_precision(mtx_file, capsys):
     assert rc == 0
     y = read_vector(io.BytesIO(out.encode()))
     np.testing.assert_allclose(y, [3, 1, 3, 6], rtol=0.02)  # bf16 ~2-3 digits
+
+
+@pytest.mark.parametrize("fmt", ["dia", "sell", "hybrid", "stream"])
+def test_format_flag(fmt, tmp_path, rng, capsys):
+    """--format selects the TPU-native formats; stdout y must match the
+    default ELL path's golden result."""
+    if fmt == "dia":
+        # DIA needs few distinct diagonals: a tridiagonal matrix
+        n = 12
+        rows = np.concatenate([np.arange(n), np.arange(n - 1),
+                               np.arange(1, n)]).astype(np.int32)
+        cols = np.concatenate([np.arange(n), np.arange(1, n),
+                               np.arange(n - 1)]).astype(np.int32)
+        vals = rng.rand(len(rows)) + 0.5
+        from ellspmv_tpu.formats.coo import CooMatrix
+        coo = CooMatrix(n, n, rows, cols, vals)
+    else:
+        coo = random_coo(rng, 40, 40, 220)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, out_ref, _ = run_cli(ellspmv.main, [p], capsys)
+    rc, out_fmt, err = run_cli(ellspmv.main, [f"--format={fmt}", "-v", p],
+                               capsys)
+    assert rc == 0, err
+    y_ref = read_vector(io.BytesIO(out_ref.encode()))
+    y_fmt = read_vector(io.BytesIO(out_fmt.encode()))
+    np.testing.assert_allclose(y_fmt, y_ref, rtol=1e-5, atol=1e-5)
+    assert f"gemv_{fmt}" in err
+
+
+def test_format_flag_rejects_unknown(mtx_file, capsys):
+    rc, _, err = run_cli(ellspmv.main, ["--format=bogus", mtx_file], capsys)
+    assert rc == 1
+    assert "--format" in err

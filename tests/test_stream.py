@@ -127,3 +127,24 @@ def test_stream_dispatch_and_bench(rng):
                          protocol="chained")
     assert res.best > 0
     assert res.metrics.num_nonzeros == coo.num_nonzeros
+
+
+def test_stream_sum_key_space_guard():
+    """The virtual slot key space is int32; an impossible size must raise
+    rather than wrap (the IDXTYPEWIDTH-analogue guard for this format)."""
+    from unittest import mock
+
+    from ellspmv_tpu.ops import stream_sum
+
+    dest = np.zeros(1024, np.int64)
+    with mock.patch.object(stream_sum, "_I32_SENTINEL",
+                           np.int32(np.iinfo(np.int32).max)):
+        # shrink the overflow threshold by pretending int32 is tiny
+        def fake_iinfo(*a, **k):
+            class I:
+                max = 1000
+            return I()
+
+        with mock.patch.object(stream_sum.np, "iinfo", fake_iinfo):
+            with pytest.raises(ValueError, match="int32"):
+                stream_sum.build_stream_sum(dest, n_rows=2048)
