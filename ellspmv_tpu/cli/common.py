@@ -125,10 +125,11 @@ def print_help(program: str, csr: bool, f=None):
     f.write("  --reorder=R               none (default) or rcm: bandwidth-reducing\n")
     f.write("                            reorder applied internally (output y unchanged)\n")
     if not csr:
-        f.write("  --format=F                ell (default), dia (stencil diagonals),\n")
-        f.write("                            sell (sliced-ELL), hybrid (hub columns +\n")
-        f.write("                            sliced-ELL), or stream (sort-based; for\n")
-        f.write("                            power-law matrices with random columns)\n")
+        f.write("  --format=F                ell (default), auto (structural chooser),\n")
+        f.write("                            dia (stencil diagonals), sell (sliced-ELL),\n")
+        f.write("                            hybrid (hub columns + sliced-ELL), or\n")
+        f.write("                            stream (sort-based; for power-law matrices\n")
+        f.write("                            with random columns)\n")
     f.write("\n")
     f.write("  -h, --help                display this help and exit\n")
     f.write("  --version                 display version information and exit\n")
@@ -242,10 +243,10 @@ def parse_args(argv: list[str], program: str, csr: bool) -> Options:
             opts.trace_dir = need_value(v, "--trace", i)
         elif not csr and (v := _split_eq(arg, "--format")) is not False:
             opts.format = need_value(v, "--format", i)
-            if opts.format not in ("ell", "dia", "sell", "hybrid",
+            if opts.format not in ("auto", "ell", "dia", "sell", "hybrid",
                                    "stream"):
-                raise CliError("--format must be ell, dia, sell, hybrid "
-                               "or stream")
+                raise CliError("--format must be auto, ell, dia, sell, "
+                               "hybrid or stream")
         elif (v := _split_eq(arg, "--reorder")) is not False:
             opts.reorder = need_value(v, "--reorder", i)
             if opts.reorder not in ("none", "rcm"):
@@ -346,6 +347,14 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         convert_name = "csr_from_coo"
         per_row = (f", {mat.rowsize_min} to {mat.rowsize_max} "
                    f"nonzeros per row")
+    elif opts.format == "auto":
+        from ellspmv_tpu.formats.auto import auto_from_coo
+        mat = auto_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                            sort_rows=True, value_dtype=opts.precision,
+                            index_dtype=(f"int{opts.index_width}"
+                                         if opts.index_width else None))
+        convert_name = f"auto_from_coo [{mat._auto_choice}]"
+        per_row = f", {mat._auto_reason}"
     elif opts.format == "dia":
         from ellspmv_tpu.formats.dia import dia_from_coo
         mat = dia_from_coo(coo, value_dtype=opts.precision)
@@ -512,7 +521,11 @@ def _kernel_name(fmt: str, opts, mat) -> str:
     """Kernel label in the reference's naming (gemv/gemvsd/gemv16, README:133
     output; csrgemv variants csrspmv.c:2851-2868)."""
     if fmt == "ell":
-        if opts.format not in (None, "ell"):
+        if opts.format == "auto":
+            from ellspmv_tpu.formats.stream import StreamMatrix
+            if isinstance(mat, StreamMatrix):
+                return "gemv_stream"
+        elif opts.format not in (None, "ell"):
             return f"gemv_{opts.format}"
         if opts.separate_diagonal and mat.rowsize == 16:
             return "gemv16"

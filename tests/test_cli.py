@@ -293,3 +293,17 @@ def test_format_flag_rejects_unknown(mtx_file, capsys):
     rc, _, err = run_cli(ellspmv.main, ["--format=bogus", mtx_file], capsys)
     assert rc == 1
     assert "--format" in err
+
+
+def test_format_auto_cli(tmp_path, rng, capsys):
+    coo = random_coo(rng, 40, 40, 220)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, out_ref, _ = run_cli(ellspmv.main, [p], capsys)
+    rc, out_auto, err = run_cli(ellspmv.main, ["--format=auto", "-v", p],
+                                capsys)
+    assert rc == 0, err
+    y_ref = read_vector(io.BytesIO(out_ref.encode()))
+    y_auto = read_vector(io.BytesIO(out_auto.encode()))
+    np.testing.assert_allclose(y_auto, y_ref, rtol=1e-5, atol=1e-5)
+    assert "auto_from_coo" in err

@@ -148,3 +148,20 @@ def test_stream_sum_key_space_guard():
         with mock.patch.object(stream_sum.np, "iinfo", fake_iinfo):
             with pytest.raises(ValueError, match="int32"):
                 stream_sum.build_stream_sum(dest, n_rows=2048)
+
+
+def test_auto_format_chooser(rng):
+    """auto_from_coo picks windowed ELL for local matrices and stream for
+    power-law/random ones."""
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.ell import EllMatrix
+    from ellspmv_tpu.formats.stream import StreamMatrix
+    from ellspmv_tpu.models.generators import banded_random, power_law
+
+    local = auto_from_coo(banded_random(20000, 8, 64, seed=1),
+                          value_dtype=np.float64)
+    assert isinstance(local, EllMatrix), local._auto_reason
+    skewed = auto_from_coo(power_law(20000, 8, seed=1),
+                           value_dtype=np.float64)
+    assert isinstance(skewed, StreamMatrix), getattr(
+        skewed, "_auto_reason", "?")
