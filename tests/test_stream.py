@@ -165,3 +165,15 @@ def test_auto_format_chooser(rng):
                            value_dtype=np.float64)
     assert isinstance(skewed, StreamMatrix), getattr(
         skewed, "_auto_reason", "?")
+
+
+def test_stream_bfloat16_precision(rng):
+    """--precision=bfloat16 maps to the f32 kernel path with bf16 storage
+    rounding; results agree at bf16-level tolerance."""
+    coo = random_coo(rng, 200, 200, 1200)
+    sm = stream_from_coo(coo, value_dtype="bfloat16")
+    x = rng.rand(200)
+    got = np.asarray(stream_spmv(sm, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * scale)
