@@ -226,26 +226,39 @@ class SumBucket:
 @dataclasses.dataclass
 class SumLevel:
     keys: jax.Array | np.ndarray       # (in_len,) i32 sort keys
+    tkeys: jax.Array | np.ndarray      # (out_len - multi_len,) i32 final
+                                       # row per terminal output position
     buckets: list                      # list[SumBucket]
     in_rows: int = dataclasses.field(metadata=dict(static=True))
     out_len: int = dataclasses.field(metadata=dict(static=True))
+    # split rows' tiles form the [0, multi_len) PREFIX of the output: the
+    # next level consumes exactly that slice (a free static slice — no
+    # n-sized sort for rows already completed at this level)
+    multi_len: int = dataclasses.field(metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StreamSumPlan:
     levels: list                       # list[SumLevel]
-    final_keys: jax.Array | np.ndarray  # (last out_len,) i32 natural row
+    final_keys: jax.Array | np.ndarray  # concat of level tkeys (i32 row)
     num_rows: int = dataclasses.field(metadata=dict(static=True))
 
     def device_put(self):
         return jax.tree_util.tree_map(jnp.asarray, self)
 
 
-def _build_level(dest: np.ndarray, n_rows: int, cap: int):
-    """One sum level. `dest` maps each input position to a row (or -1 for
-    pads). Returns (SumLevel arrays as numpy, out_dest or None). out_dest
-    is None when no row was split (output positions map to final rows)."""
+def _build_level(dest: np.ndarray, n_rows: int, cap: int,
+                 include_empty_rows: bool):
+    """One sum level. `dest` maps each input position to a row (-1 = pad).
+
+    Rows with <= cap entries complete here: their sums land in the
+    single-group SUFFIX of the output with `tkeys` naming the row. Rows
+    with more split into sub-rows whose sums land in the multi-group
+    PREFIX [0, multi_len); `out_dest` (length multi_len) maps those
+    positions to parent rows for the next level. `include_empty_rows`
+    gives 0-entry rows a terminal zero (level 1 only: deeper levels must
+    not re-emit rows that completed earlier)."""
     E = len(dest)
     valid = dest >= 0
     vpos = np.flatnonzero(valid)
@@ -261,62 +274,80 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int):
 
     # split rows longer than cap into sub-rows of <= cap entries
     nsub = np.maximum(-(-counts // cap), 1)
-    split_any = bool((counts > cap).any())
+    if not include_empty_rows:
+        nsub[counts == 0] = 0
     sub_base = np.concatenate([[0], np.cumsum(nsub)])
     n_vrows = int(sub_base[-1])
     vrow = sub_base[rows_v] + rank // cap
     vrank = rank % cap
     vcounts = np.full(n_vrows, cap, np.int64)
-    last = sub_base[:-1] + nsub - 1
-    vcounts[last] = counts - (nsub - 1) * cap        # 0 for empty rows
+    has = nsub > 0
+    last = (sub_base[:-1] + nsub - 1)[has]
+    vcounts[last] = (counts - (nsub - 1) * cap)[has]  # 0 for empty rows
     parent = np.repeat(np.arange(n_rows, dtype=np.int64), nsub)
 
-    # sigma: virtual rows by descending count; tiles of R; pow2 buckets
-    sigperm = np.argsort(-vcounts, kind="stable")    # vrow at sig position
+    # sigma order: split ("multi") rows' sub-rows first, then completed
+    # ("single") rows — each group R-padded so (a) within-tile counts stay
+    # descending (the kernel's lane-prefix invariant) and (b) the multi
+    # group is a whole-tile prefix of the output
+    vrow_multi = (counts > cap)[parent]              # (n_vrows,)
+    sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
+    n_multi_v = int(vrow_multi.sum())
+    n_multi_pad = _round_up(n_multi_v, R) if n_multi_v else 0
+    n_single_v = n_vrows - n_multi_v
+    n_sig = n_multi_pad + _round_up(n_single_v, R)
+    n_sig = max(n_sig, R)
+    sig_pos_of_rank = np.arange(n_vrows)
+    sig_pos_of_rank = np.where(sig_pos_of_rank < n_multi_v,
+                               sig_pos_of_rank,
+                               n_multi_pad + sig_pos_of_rank - n_multi_v)
     sig_of = np.empty(n_vrows, np.int64)
-    sig_of[sigperm] = np.arange(n_vrows)
-    n_sig = max(_round_up(n_vrows, R), R)
+    sig_of[sigperm] = sig_pos_of_rank
     T_all = n_sig // R
+    T0 = n_multi_pad // R                            # multi-group tiles
     counts_sig = np.zeros(n_sig, np.int64)
-    counts_sig[:n_vrows] = vcounts[sigperm]
+    counts_sig[sig_of] = vcounts
+    vrow_at_sig = np.full(n_sig, -1, np.int64)
+    vrow_at_sig[sig_of] = np.arange(n_vrows)
     S_tile = counts_sig.reshape(T_all, R)[:, 0]      # descending => max
     S_bucket_of = np.array([_pow2ceil(max(int(s), 1)) for s in S_tile])
 
-    bucket_sizes = sorted(set(int(b) for b in S_bucket_of))
-    # concat order: bucket-major, sigma-tile order within bucket
-    tiles_by_bucket = {S: np.flatnonzero(S_bucket_of == S)
-                       for S in bucket_sizes}
+    # concat order: multi tiles first, bucket-major within each group
+    groups = [np.arange(T0), np.arange(T0, T_all)]
+    bucket_list = []                                 # [(group, S, tiles)]
     ct_of_tile = np.empty(T_all, np.int64)
     pos = 0
-    for S in bucket_sizes:
-        tl = tiles_by_bucket[S]
-        ct_of_tile[tl] = pos + np.arange(len(tl))
-        pos += len(tl)
+    for g_tiles in groups:
+        for S in sorted(set(int(b) for b in S_bucket_of[g_tiles])):
+            tl = g_tiles[S_bucket_of[g_tiles] == S]
+            ct_of_tile[tl] = pos + np.arange(len(tl))
+            pos += len(tl)
+            bucket_list.append((S, tl))
 
-    # per-(tile, slot) counts via a per-tile count histogram (rows in a
-    # tile are descending, so slot s's lanes are the prefix [0, c_ts))
-    capp = max(bucket_sizes)
+    # per-(tile, slot) counts via a per-tile count histogram (counts are
+    # descending within a tile, so slot s's lanes are the prefix [0, c))
+    capp = int(S_bucket_of.max())
     H = np.zeros((T_all, capp + 2), np.int64)
     tile_of_sig = np.arange(n_sig) // R
-    np.add.at(H, (tile_of_sig[:n_vrows],
-                  np.clip(counts_sig[:n_vrows], 0, capp + 1)), 1)
+    real_sig = vrow_at_sig >= 0
+    np.add.at(H, (tile_of_sig[real_sig],
+                  np.clip(counts_sig[real_sig], 0, capp + 1)), 1)
     suffix = H[:, ::-1].cumsum(axis=1)[:, ::-1]      # suffix[t,v] = #(>= v)
 
-    # run starts: exclusive cumsum over (bucket, tile, slot)
+    # run starts: exclusive cumsum in concat (group, bucket, tile, slot)
     buckets_np = []
     run_base = 0
     key_base_of_tile = np.zeros(T_all, np.int64)
-    o_global_of_tile = {}
     vspace = 0
-    for S in bucket_sizes:
-        tl = tiles_by_bucket[S]
+    per_bucket_runs = []
+    for S, tl in bucket_list:
         key_base_of_tile[tl] = vspace + np.arange(len(tl)) * (S * R)
         vspace += len(tl) * S * R
         c = suffix[tl][:, 1:S + 1]                   # (T_b, S): #(> s)
         o = run_base + np.concatenate(
             [[0], np.cumsum(c.ravel())[:-1]]).reshape(len(tl), S)
         run_base += int(c.sum())
-        o_global_of_tile[S] = (o, c)
+        per_bucket_runs.append((S, tl, o, c))
     assert run_base == len(vpos)
 
     if vspace + 1 >= np.iinfo(np.int32).max:
@@ -330,38 +361,38 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int):
 
     # per-bucket kernel metadata
     in_rows_needed = _round_up(max(E, 1), 128) // 128
-    for S in bucket_sizes:
-        tl = tiles_by_bucket[S]
-        o, c = o_global_of_tile[S]
+    for S, tl, o, c in per_bucket_runs:
         end = o[:, -1] + c[:, -1]                    # exclusive run end
         wrow = np.maximum((o[:, 0] >> 7) & ~7, 0)
-        K = int(np.max(-(-(end - wrow * 128) // 128) + G + 2)) \
-            if len(tl) else G + 2
+        K = int(np.max(-(-(end - wrow * 128) // 128) + G + 2))
         K = _round_up(max(K, 8), 8)
-        in_rows_needed = max(in_rows_needed, int(np.max(wrow)) + K
-                             if len(tl) else 0)
+        in_rows_needed = max(in_rows_needed, int(np.max(wrow)) + K)
         oc = np.stack([(o - wrow[:, None] * 128), c], axis=1)
         buckets_np.append(SumBucket(
             estart=wrow.astype(np.int32), oc=oc.astype(np.int32),
             S=S, K=K, T=len(tl)))
 
     out_len = T_all * R
-    level = SumLevel(keys=keys, buckets=buckets_np,
-                     in_rows=in_rows_needed, out_len=out_len)
+    multi_len = T0 * R
 
-    # map output positions to the next level's dest (or final rows)
+    # output position -> sigma position -> vrow
     ct_inv = np.empty(T_all, np.int64)
     ct_inv[ct_of_tile] = np.arange(T_all)            # concat tile -> tile
-    pos_tile = np.repeat(ct_inv, R)                  # per output position
-    pos_lane = np.tile(np.arange(R), T_all)
-    sig_pos = pos_tile * R + pos_lane
-    vr = np.where(sig_pos < n_vrows, sigperm[np.minimum(sig_pos,
-                                                        n_vrows - 1)], -1)
-    if not split_any:
-        final = np.where(vr >= 0, vr, _I32_SENTINEL).astype(np.int32)
-        return level, None, final
-    out_dest = np.where(vr >= 0, parent[np.maximum(vr, 0)], -1)
-    return level, out_dest, None
+    sig_pos = (np.repeat(ct_inv, R) * R + np.tile(np.arange(R), T_all))
+    vr = vrow_at_sig[sig_pos]
+
+    # terminal suffix: completed rows (or pads) -> final row keys
+    vr_term = vr[multi_len:]
+    tkeys = np.where(vr_term >= 0, parent[np.maximum(vr_term, 0)],
+                     _I32_SENTINEL).astype(np.int32)
+    level = SumLevel(keys=keys, tkeys=tkeys, buckets=buckets_np,
+                     in_rows=in_rows_needed, out_len=out_len,
+                     multi_len=multi_len)
+    if multi_len == 0:
+        return level, None
+    vr_multi = vr[:multi_len]
+    out_dest = np.where(vr_multi >= 0, parent[np.maximum(vr_multi, 0)], -1)
+    return level, out_dest
 
 
 def build_stream_sum(dest: np.ndarray, n_rows: int,
@@ -370,10 +401,14 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
     position k carries an addend for row `dest[k]` (-1 = padding)."""
     levels = []
     cur = np.asarray(dest, np.int64)
+    first = True
     while True:
-        level, nxt, final = _build_level(cur, n_rows, cap)
+        level, nxt = _build_level(cur, n_rows, cap,
+                                  include_empty_rows=first)
         levels.append(level)
+        first = False
         if nxt is None:
+            final = np.concatenate([lv.tkeys for lv in levels])
             return StreamSumPlan(levels=levels, final_keys=final,
                                  num_rows=n_rows)
         cur = nxt
@@ -381,8 +416,13 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
 
 def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
     """Run the plan: returns per-row sums in natural row order — (hi, lo)
-    f32 pair when `vl` is given (double-double), else a single f32 array."""
+    f32 pair when `vl` is given (double-double), else a single f32 array.
+
+    Each level sorts only the rows still in flight (the previous level's
+    multi prefix); completed rows' sums collect in `parts` and ONE final
+    key sort puts everything in natural order."""
     dd = vl is not None
+    parts_h, parts_l = [], []
     for lv in plan.levels:
         keys = jnp.asarray(lv.keys)
         if dd:
@@ -406,12 +446,18 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
                 oh = _runsum_f32(es, oc, sh, S=b.S, K=b.K, T=b.T,
                                  interpret=interpret)
             outs_h.append(oh.reshape(-1))
-        vh = jnp.concatenate(outs_h)
+        oh = jnp.concatenate(outs_h)
+        parts_h.append(oh[lv.multi_len:])
+        vh = oh[:lv.multi_len]
         if dd:
-            vl = jnp.concatenate(outs_l)
+            ol = jnp.concatenate(outs_l)
+            parts_l.append(ol[lv.multi_len:])
+            vl = ol[:lv.multi_len]
     fk = jnp.asarray(plan.final_keys)
     n = plan.num_rows
+    vh = jnp.concatenate(parts_h)
     if dd:
+        vl = jnp.concatenate(parts_l)
         _, vh, vl = jax.lax.sort((fk, vh, vl), num_keys=1, is_stable=False)
         return vh[:n], vl[:n]
     _, vh = jax.lax.sort((fk, vh), num_keys=1, is_stable=False)
