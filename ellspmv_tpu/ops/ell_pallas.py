@@ -524,7 +524,9 @@ class DevicePlan:
                     and plan.qb.size):
                 ks_slot = tuple(
                     int(v) for v in plan.qb[:, 1, :].max(axis=0))
-            nacc = int(os.environ.get("ELLSPMV_TPU_NACC", "2"))
+            # nacc=1 measured best on v5e across poisson/banded/mesh
+            # (sweep 2026-08-17: 97.8% vs 85% roofline on poisson)
+            nacc = int(os.environ.get("ELLSPMV_TPU_NACC", "1"))
             self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
                                plan.num_tiles, plan.nx128, plan.lead,
                                plan.slope, bool(plan.static_window),

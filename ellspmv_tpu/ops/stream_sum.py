@@ -249,7 +249,8 @@ class StreamSumPlan:
 
 
 def _build_level(dest: np.ndarray, n_rows: int, cap: int,
-                 include_empty_rows: bool):
+                 include_empty_rows: bool, forward_all: bool = False,
+                 forced=None):
     """One sum level. `dest` maps each input position to a row (-1 = pad).
 
     Rows with <= cap entries complete here: their sums land in the
@@ -258,7 +259,17 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     PREFIX [0, multi_len); `out_dest` (length multi_len) maps those
     positions to parent rows for the next level. `include_empty_rows`
     gives 0-entry rows a terminal zero (level 1 only: deeper levels must
-    not re-emit rows that completed earlier)."""
+    not re-emit rows that completed earlier).
+
+    SPMD options (sharded stream): `forward_all=True` marks EVERY row as
+    multi, so the whole output feeds the next level (pass-through
+    aggregation of count-1 rows emulates a no-op level on devices that
+    finished early). `forced=(bucket_shapes, K_of, in_rows)` with
+    bucket_shapes=[(S, T_b), ...] dictates the output layout: this
+    device's tiles fill the first slots of each forced bucket, the rest
+    are zero-run pad tiles — every device then compiles the SAME kernel
+    shapes. Returns (level, out_dest, shape) where shape is this level's
+    own (bucket_shapes, K_of, in_rows) for unification."""
     E = len(dest)
     valid = dest >= 0
     vpos = np.flatnonzero(valid)
@@ -290,7 +301,10 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     # ("single") rows — each group R-padded so (a) within-tile counts stay
     # descending (the kernel's lane-prefix invariant) and (b) the multi
     # group is a whole-tile prefix of the output
-    vrow_multi = (counts > cap)[parent]              # (n_vrows,)
+    if forward_all:
+        vrow_multi = np.ones(n_vrows, bool)
+    else:
+        vrow_multi = (counts > cap)[parent]          # (n_vrows,)
     sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
     n_multi_v = int(vrow_multi.sum())
     n_multi_pad = _round_up(n_multi_v, R) if n_multi_v else 0
@@ -312,17 +326,34 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     S_tile = counts_sig.reshape(T_all, R)[:, 0]      # descending => max
     S_bucket_of = np.array([_pow2ceil(max(int(s), 1)) for s in S_tile])
 
-    # concat order: multi tiles first, bucket-major within each group
-    groups = [np.arange(T0), np.arange(T0, T_all)]
-    bucket_list = []                                 # [(group, S, tiles)]
+    # concat order: multi tiles first, bucket-major within each group;
+    # forced mode maps this device's tiles into the dictated layout
     ct_of_tile = np.empty(T_all, np.int64)
     pos = 0
-    for g_tiles in groups:
-        for S in sorted(set(int(b) for b in S_bucket_of[g_tiles])):
-            tl = g_tiles[S_bucket_of[g_tiles] == S]
-            ct_of_tile[tl] = pos + np.arange(len(tl))
-            pos += len(tl)
-            bucket_list.append((S, tl))
+    if forced is None:
+        groups = [np.arange(T0), np.arange(T0, T_all)]
+        bucket_list = []                             # [(S, tiles, T_b)]
+        for g_tiles in groups:
+            for S in sorted(set(int(b) for b in S_bucket_of[g_tiles])):
+                tl = g_tiles[S_bucket_of[g_tiles] == S]
+                ct_of_tile[tl] = pos + np.arange(len(tl))
+                pos += len(tl)
+                bucket_list.append((S, tl, len(tl)))
+    else:
+        fb, fK, f_in_rows = forced
+        assert T0 in (0, T_all), "forced layouts are single-group"
+        own_by_S = {}
+        for S in sorted(set(int(b) for b in S_bucket_of)):
+            own_by_S[S] = np.flatnonzero(S_bucket_of == S)
+        bucket_list = []
+        for S, T_f in fb:
+            own = own_by_S.pop(S, np.zeros(0, np.int64))
+            assert len(own) <= T_f, "forced bucket too small"
+            ct_of_tile[own] = pos + np.arange(len(own))
+            pos += T_f
+            bucket_list.append((S, own, T_f))
+        assert not own_by_S, "bucket size missing from forced layout"
+    T_concat = pos
 
     # per-(tile, slot) counts via a per-tile count histogram (counts are
     # descending within a tile, so slot s's lanes are the prefix [0, c))
@@ -340,14 +371,16 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     key_base_of_tile = np.zeros(T_all, np.int64)
     vspace = 0
     per_bucket_runs = []
-    for S, tl in bucket_list:
+    for S, tl, T_b in bucket_list:
         key_base_of_tile[tl] = vspace + np.arange(len(tl)) * (S * R)
-        vspace += len(tl) * S * R
-        c = suffix[tl][:, 1:S + 1]                   # (T_b, S): #(> s)
+        vspace += T_b * S * R
+        c = np.zeros((T_b, S), np.int64)
+        if len(tl):
+            c[:len(tl)] = suffix[tl][:, 1:S + 1]     # (T_b, S): #(> s)
         o = run_base + np.concatenate(
-            [[0], np.cumsum(c.ravel())[:-1]]).reshape(len(tl), S)
+            [[0], np.cumsum(c.ravel())[:-1]]).reshape(T_b, S)
         run_base += int(c.sum())
-        per_bucket_runs.append((S, tl, o, c))
+        per_bucket_runs.append((S, tl, T_b, o, c))
     assert run_base == len(vpos)
 
     if vspace + 1 >= np.iinfo(np.int32).max:
@@ -361,25 +394,37 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
 
     # per-bucket kernel metadata
     in_rows_needed = _round_up(max(E, 1), 128) // 128
-    for S, tl, o, c in per_bucket_runs:
+    shape_buckets, shape_K = [], {}
+    for S, tl, T_b, o, c in per_bucket_runs:
         end = o[:, -1] + c[:, -1]                    # exclusive run end
         wrow = np.maximum((o[:, 0] >> 7) & ~7, 0)
         K = int(np.max(-(-(end - wrow * 128) // 128) + G + 2))
         K = _round_up(max(K, 8), 8)
+        shape_buckets.append((S, T_b))
+        shape_K[S] = max(shape_K.get(S, 0), K)
+        if forced is not None:
+            assert K <= forced[1][S], "forced window too small"
+            K = forced[1][S]
         in_rows_needed = max(in_rows_needed, int(np.max(wrow)) + K)
         oc = np.stack([(o - wrow[:, None] * 128), c], axis=1)
         buckets_np.append(SumBucket(
             estart=wrow.astype(np.int32), oc=oc.astype(np.int32),
-            S=S, K=K, T=len(tl)))
+            S=S, K=K, T=T_b))
+    if forced is not None:
+        assert in_rows_needed <= forced[2], "forced stream too short"
+        in_rows_needed = forced[2]
+    shape = (shape_buckets, shape_K, in_rows_needed)
 
-    out_len = T_all * R
-    multi_len = T0 * R
+    out_len = T_concat * R
+    multi_len = out_len if forward_all else T0 * R
 
-    # output position -> sigma position -> vrow
-    ct_inv = np.empty(T_all, np.int64)
+    # output position -> sigma position -> vrow (-1 for forced pad tiles)
+    ct_inv = np.full(T_concat, -1, np.int64)
     ct_inv[ct_of_tile] = np.arange(T_all)            # concat tile -> tile
-    sig_pos = (np.repeat(ct_inv, R) * R + np.tile(np.arange(R), T_all))
-    vr = vrow_at_sig[sig_pos]
+    pos_tile = np.repeat(ct_inv, R)
+    sig_pos = pos_tile * R + np.tile(np.arange(R), T_concat)
+    vr = np.where(pos_tile >= 0,
+                  vrow_at_sig[np.clip(sig_pos, 0, n_sig - 1)], -1)
 
     # terminal suffix: completed rows (or pads) -> final row keys
     vr_term = vr[multi_len:]
@@ -389,10 +434,10 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                      in_rows=in_rows_needed, out_len=out_len,
                      multi_len=multi_len)
     if multi_len == 0:
-        return level, None
+        return level, None, shape
     vr_multi = vr[:multi_len]
     out_dest = np.where(vr_multi >= 0, parent[np.maximum(vr_multi, 0)], -1)
-    return level, out_dest
+    return level, out_dest, shape
 
 
 def build_stream_sum(dest: np.ndarray, n_rows: int,
@@ -403,8 +448,8 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
     cur = np.asarray(dest, np.int64)
     first = True
     while True:
-        level, nxt = _build_level(cur, n_rows, cap,
-                                  include_empty_rows=first)
+        level, nxt, _ = _build_level(cur, n_rows, cap,
+                                     include_empty_rows=first)
         levels.append(level)
         first = False
         if nxt is None:
@@ -412,6 +457,84 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
             return StreamSumPlan(levels=levels, final_keys=final,
                                  num_rows=n_rows)
         cur = nxt
+
+
+def _sum_depth(counts: np.ndarray, cap: int) -> int:
+    """Levels needed until every (virtual) row has <= cap addends."""
+    m = int(counts.max()) if counts.size else 0
+    depth = 1
+    while m > cap:
+        m = -(-m // cap)
+        depth += 1
+    return depth
+
+
+def build_stream_sum_uniform(dests, n_rows: int,
+                             cap: int = 128) -> list:
+    """Per-device structurally identical plans (for shard_map SPMD).
+
+    `dests` is one entry->local-row map per device (same length, -1 pads;
+    local row spaces all sized `n_rows` = the padded device block). Two
+    passes: (1) per device, chain `_build_level` with forward_all on all
+    but the last level, collecting layout shapes; (2) rebuild with the
+    across-device union of every level's shape, so keys/runs differ per
+    device but every static (bucket sizes, tile counts, window heights,
+    lengths) is shared — one compiled kernel set serves the whole mesh."""
+    D = len(dests)
+    dests = [np.asarray(d, np.int64) for d in dests]
+    in_len = max(len(d) for d in dests)
+    in_len = max(_round_up(in_len, R), R)
+    dests = [np.pad(d, (0, in_len - len(d)), constant_values=-1)
+             for d in dests]
+    L = max(_sum_depth(np.bincount(d[d >= 0], minlength=n_rows), cap)
+            for d in dests)
+
+    def chain(dest, forced_levels=None):
+        levels, shapes = [], []
+        cur = dest
+        for li in range(L):
+            fwd = li < L - 1
+            level, nxt, shape = _build_level(
+                cur, n_rows, cap, include_empty_rows=(li == 0),
+                forward_all=fwd,
+                forced=None if forced_levels is None
+                else forced_levels[li])
+            levels.append(level)
+            shapes.append(shape)
+            if fwd:
+                assert nxt is not None
+                cur = nxt
+            else:
+                assert nxt is None
+        return levels, shapes
+
+    all_shapes = [chain(d)[1] for d in dests]
+    forced_levels = []
+    cur_len = in_len              # unified input length of each level
+    for li in range(L):
+        t_of, k_of, rows_max = {}, {}, 0
+        for sh in all_shapes:
+            buckets, K_of, in_rows = sh[li]
+            for S, T_b in buckets:
+                t_of[S] = max(t_of.get(S, 0), T_b)
+            for S, K in K_of.items():
+                k_of[S] = max(k_of.get(S, 0), K)
+            rows_max = max(rows_max, in_rows)
+        fb = sorted(t_of.items())
+        # pad-tile windows can start anywhere in the stream; cover them
+        # (forced K may also exceed the pass-1 window a real tile used)
+        rows_max = max(rows_max,
+                       _round_up(cur_len, 128) // 128 + max(k_of.values()))
+        forced_levels.append((fb, k_of, rows_max))
+        cur_len = sum(T_b for _, T_b in fb) * R
+
+    plans = []
+    for d in dests:
+        levels, _ = chain(d, forced_levels)
+        final = np.concatenate([lv.tkeys for lv in levels])
+        plans.append(StreamSumPlan(levels=levels, final_keys=final,
+                                   num_rows=n_rows))
+    return plans
 
 
 def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):

@@ -79,7 +79,7 @@ def cg_dd_sharded(sm: ShardedMatrix, b, tol: float = 1e-8,
                 jnp.pad(xl, pad).reshape(nx128, 128),
                 S, G, KS, K128, T_local, slope=slope, unroll=unroll,
                 fastdd=fastdd, static=static, ks_slot=d_.ks_slot,
-                nacc=2, interpret=interpret)
+                nacc=1, interpret=interpret)
             return DDVec(yh.reshape(-1)[:block], yl.reshape(-1)[:block])
 
         def vdot(a: DDVec, c: DDVec):

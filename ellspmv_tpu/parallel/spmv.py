@@ -485,7 +485,7 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
                 xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                 S, G, KS, K128, T_local, slope=slope, unroll=unroll,
                 fastdd=ell_pallas.fma_contraction_available(),
-                static=static, ks_slot=d_.ks_slot, nacc=2,
+                static=static, ks_slot=d_.ks_slot, nacc=1,
                 interpret=interpret)
             acc = (yh.reshape(-1).astype(jnp.float64)
                    + yl.reshape(-1).astype(jnp.float64))[:sm.block]
@@ -494,7 +494,7 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             acc = ell_pallas._run_f32(
                 wb_blk, qb_blk, lcol_blk, v_blk, x2d,
                 S, G, KS, K128, T_local, slope=slope, unroll=unroll,
-                static=static, ks_slot=d_.ks_slot, nacc=2,
+                static=static, ks_slot=d_.ks_slot, nacc=1,
                 interpret=interpret
             ).reshape(-1)[:sm.block].astype(y_blk.dtype)
         if maybe_diag:

@@ -1,0 +1,290 @@
+"""Row-sharded stream SpMV: power-law matrices across the device mesh.
+
+Extends the row-sharding story (parallel/spmv.py — the TPU realization of
+the reference's thread partitions, csrspmv.c:2834-2837) to the sort-based
+stream format: each device owns a row block's ENTRIES (column-sorted
+locally), so the whole pipeline — product kernel, key sorts, segmented-sum
+kernels — runs device-locally under `shard_map`; the ONLY communication is
+the allgather of x over ICI (plus y staying sharded), exactly like the
+windowed path.
+
+SPMD needs every device to compile the same program, so per-device plans
+are built structurally identical:
+
+- product stage: every device's (nnz_d x 1) column-sorted ELL is padded to
+  a common entry count and planned at a common tile size; tile counts,
+  window heights and scan bounds take the across-device maxima (pad tiles
+  multiply zeros);
+- sum stage: `build_stream_sum_uniform` (ops/stream_sum.py) forces every
+  level's bucket layout to the across-device union, with early-finished
+  devices running pass-through aggregation levels.
+
+Per-device plan data rides as stacked, row-sharded jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ellspmv_tpu.formats.coo import CooMatrix
+from ellspmv_tpu.parallel.mesh import make_mesh
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class ShardedStream:
+    mesh: object
+    boundaries: np.ndarray          # (D+1,) logical row boundaries
+    block: int                      # rows per device (padded)
+    logical_rows: int
+    logical_cols: int
+    num_nonzeros: int
+    x_block: int
+    unpermute: jax.Array            # (logical_rows,) physical y -> logical
+    dd: bool
+    # product stage (stacked per device, row-sharded)
+    prod_args: tuple                # wbase (D,T), qb, lcol, vals...
+    prod_cfg: dict                  # static kernel parameters
+    # sum stage: stacked leaves + shared treedef
+    sum_leaves: list
+    sum_treedef: object
+
+    @property
+    def num_rows(self):
+        return self.logical_rows
+
+    @property
+    def num_columns(self):
+        return self.logical_cols
+
+    @property
+    def values(self):
+        return np.zeros(0, np.float64 if self.dd else np.float32)
+
+    @property
+    def worksize(self):
+        return self.num_nonzeros
+
+
+def shard_stream(coo: CooMatrix, n_devices: int | None = None,
+                 partition: str = "rows", rows_per_device=None,
+                 mesh=None, value_dtype=None,
+                 row_tile: int = 4096) -> ShardedStream:
+    """Build the row-sharded stream plan from COO."""
+    from ellspmv_tpu.ops import plan as plan_mod
+    from ellspmv_tpu.ops.stream_sum import build_stream_sum_uniform
+    from ellspmv_tpu.formats.ell import EllMatrix
+
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    coo = coo.expand_symmetry()
+    n, m = coo.num_rows, coo.num_columns
+    nnz = coo.num_nonzeros
+    val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
+    dd = val_dt == np.dtype(np.float64)
+
+    # row-block boundaries (rows / nonzeros / explicit — csrspmv.c:2022-71)
+    if rows_per_device is not None:
+        if len(rows_per_device) != D or sum(rows_per_device) != n:
+            raise ValueError("bad rows-per-device list")
+        bounds = np.concatenate([[0], np.cumsum(rows_per_device)])
+    elif partition == "nonzeros":
+        counts = np.bincount(coo.rowidx, minlength=n)
+        rowptr = np.concatenate([[0], np.cumsum(counts)])
+        targets = (np.arange(1, D) * rowptr[-1]) // D
+        inner = np.searchsorted(rowptr, targets, side="left")
+        bounds = np.concatenate([[0], inner, [n]])
+    else:
+        b = -(-n // D)
+        bounds = np.minimum(np.arange(D + 1) * b, n)
+    rows_per = np.diff(bounds)
+    block = max(int(rows_per.max()), 1)
+
+    # per-device entries, column-sorted, rows local to the block
+    unperm = np.zeros(n, np.int64)
+    per_cols, per_vals, per_rows = [], [], []
+    for d in range(D):
+        lo, hi = bounds[d], bounds[d + 1]
+        sel = (coo.rowidx >= lo) & (coo.rowidx < hi)
+        order = np.argsort(coo.colidx[sel], kind="stable")
+        per_cols.append(coo.colidx[sel][order].astype(np.int32))
+        per_vals.append(coo.values[sel][order].astype(val_dt))
+        per_rows.append((coo.rowidx[sel][order] - lo).astype(np.int64))
+        unperm[lo:hi] = d * block + np.arange(hi - lo)
+    E_max = max(max(len(c) for c in per_cols), 1)
+    E_pad = max(_round_up(E_max, row_tile), row_tile)
+
+    # product plans at a common tile size, padded to common statics
+    plans = []
+    for d in range(D):
+        cols = np.full(E_pad, per_cols[d][-1] if len(per_cols[d])
+                       else 0, np.int32)
+        vals = np.zeros(E_pad, val_dt)
+        cols[:len(per_cols[d])] = per_cols[d]
+        vals[:len(per_vals[d])] = per_vals[d]
+        ell = EllMatrix(colidx=cols[:, None], values=vals[:, None],
+                        diag=None, num_rows=E_pad, num_columns=m,
+                        num_nonzeros=max(len(per_cols[d]), 1))
+        p = plan_mod.build_plan(ell, row_tile=row_tile, slope=0,
+                                static=False,
+                                value_dtype=np.float64 if dd
+                                else np.float32)
+        if p is None:
+            raise ValueError("stream product stage has no plan "
+                             "(pathological column space)")
+        plans.append(p)
+    T = max(p.num_tiles for p in plans)
+    KS = max(p.KS for p in plans)
+    K128 = max(p.K128 for p in plans)
+    nx128 = plans[0].nx128
+    Gp = plans[0].G
+    assert all(p.nx128 == nx128 and p.G == Gp and p.rowsize == 1
+               and p.n_pad == E_pad and p.num_tiles == T for p in plans)
+    lcol_dt = np.int16 if KS * 128 <= np.iinfo(np.int16).max else np.int32
+
+    def pad_plan(p):
+        wb = np.minimum(p.wbase128.astype(np.int64),
+                        max(nx128 - K128, 0))
+        delta = p.wbase128.astype(np.int64) - wb       # widen window down
+        qb = p.qb.astype(np.int64).copy()              # (T, 2, 1)
+        qb[:, 0, :] += delta[:, None]
+        lcol = p.lcol.reshape(T, 1, Gp, 128)
+        return (wb.astype(np.int32), qb.astype(np.int32),
+                lcol.astype(lcol_dt))
+
+    wbs, qbs, lcols, vhs, vls = [], [], [], [], []
+    for p in plans:
+        wb, qb, lcol = pad_plan(p)
+        wbs.append(wb)
+        qbs.append(qb)
+        lcols.append(lcol)
+        if dd:
+            vh = p.vals.astype(np.float32)
+            vls.append((p.vals - vh.astype(np.float64)).astype(
+                np.float32).reshape(T, 1, Gp, 128))
+            vhs.append(vh.reshape(T, 1, Gp, 128))
+        else:
+            vhs.append(p.vals.astype(np.float32).reshape(T, 1, Gp, 128))
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    dev = lambda arrs, nd: jax.device_put(
+        jnp.asarray(np.stack(arrs)), sh(axis, *([None] * nd)))
+    prod_args = (dev(wbs, 1), dev(qbs, 3), dev(lcols, 4), dev(vhs, 4)) + \
+        ((dev(vls, 4),) if dd else ())
+    prod_cfg = dict(S=1, G=Gp, KS=KS, K128=K128, T=T, nx128=nx128,
+                    unroll=KS <= 16)
+
+    # uniform sum plans over the padded local row blocks
+    dests = []
+    for d in range(D):
+        dst = np.full(E_pad, -1, np.int64)
+        dst[:len(per_rows[d])] = per_rows[d]
+        # pad rows [rows_d, block) must still emit terminal zeros so the
+        # physical y layout is dense; give them no entries (bincount 0)
+        dests.append(dst)
+    sum_plans = build_stream_sum_uniform(dests, n_rows=block)
+    leaves0, treedef = jax.tree_util.tree_flatten(sum_plans[0])
+    all_leaves = [jax.tree_util.tree_flatten(p)[0] for p in sum_plans]
+    sum_leaves = [dev([np.asarray(lv[i]) for lv in all_leaves],
+                      np.asarray(leaves0[i]).ndim)
+                  for i in range(len(leaves0))]
+
+    return ShardedStream(
+        mesh=mesh, boundaries=bounds, block=block, logical_rows=n,
+        logical_cols=m, num_nonzeros=nnz,
+        x_block=_round_up(max(m, 1), D) // D,
+        unpermute=jnp.asarray(unperm), dd=dd,
+        prod_args=prod_args, prod_cfg=prod_cfg,
+        sum_leaves=sum_leaves, sum_treedef=treedef)
+
+
+def sharded_stream_spmv_fn(ss: ShardedStream):
+    """Build `fn(ss, x_logical, y_logical|None) -> y_logical`."""
+    from ellspmv_tpu.ops import ell_pallas
+    from ellspmv_tpu.ops.stream_sum import apply_stream_sum
+
+    mesh, axis = ss.mesh, ss.mesh.axis_names[0]
+    D = mesh.devices.size
+    cfg = ss.prod_cfg
+    dd = ss.dd
+    m = ss.logical_cols
+    nx128 = cfg["nx128"]
+    interpret = jax.devices()[0].platform != "tpu"
+    treedef = ss.sum_treedef
+    val_dt = np.float64 if dd else np.float32
+
+    def local(*args):
+        *op, x_blk, y_blk = args
+        wb, qb, lcol, *vals_and_sum = op
+        nv = 2 if dd else 1
+        vals = vals_and_sum[:nv]
+        sum_leaves = vals_and_sum[nv:]
+        wb, qb, lcol = wb[0], qb[0], lcol[0]
+        vals = [v[0] for v in vals]
+        plan = jax.tree_util.tree_unflatten(
+            treedef, [lv[0] for lv in sum_leaves])
+        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)[:m]
+        xp = jnp.pad(x_full, (0, nx128 * 128 - m))
+        if dd:
+            xh = xp.astype(jnp.float32)
+            xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
+            ph, pl_ = ell_pallas._run_dd(
+                wb, qb, lcol, vals[0], vals[1],
+                xh.reshape(nx128, 128), xl.reshape(nx128, 128),
+                cfg["S"], cfg["G"], cfg["KS"], cfg["K128"], cfg["T"],
+                slope=0, unroll=cfg["unroll"],
+                fastdd=ell_pallas.fma_contraction_available(),
+                static=False, ks_slot=None, nacc=1, interpret=interpret)
+            yh, yl = apply_stream_sum(plan, ph.reshape(-1),
+                                      pl_.reshape(-1),
+                                      interpret=interpret)
+            acc = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+        else:
+            pv = ell_pallas._run_f32(
+                wb, qb, lcol, vals[0],
+                xp.astype(jnp.float32).reshape(nx128, 128),
+                cfg["S"], cfg["G"], cfg["KS"], cfg["K128"], cfg["T"],
+                slope=0, unroll=cfg["unroll"], static=False,
+                ks_slot=None, nacc=1, interpret=interpret)
+            acc = apply_stream_sum(plan, pv.reshape(-1),
+                                   interpret=interpret)
+        return acc.astype(y_blk.dtype) + y_blk
+
+    n_op = len(ss.prod_args) + len(ss.sum_leaves)
+    in_specs = tuple(P(axis, *([None] * (np.asarray(a).ndim - 1)))
+                     for a in ss.prod_args) + \
+        tuple(P(axis, *([None] * (np.asarray(l).ndim - 1)))
+              for l in ss.sum_leaves) + (P(axis), P(axis))
+    mapped = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(axis), check_vma=False)
+    args = ss.prod_args + tuple(ss.sum_leaves)
+
+    @jax.jit
+    def fn_physical(x_phys, y_phys, *op):
+        return mapped(*op, x_phys, y_phys)
+
+    def fn(_ss, x, y=None):
+        x = jnp.asarray(x, val_dt)
+        m_pad = ss.x_block * D
+        x_phys = jax.device_put(
+            jnp.pad(x, (0, m_pad - x.shape[0])),
+            NamedSharding(mesh, P(axis)))
+        if y is None:
+            y_phys = jnp.zeros(ss.block * D, val_dt)
+        else:
+            y_phys = jnp.zeros(ss.block * D, val_dt).at[
+                ss.unpermute].set(jnp.asarray(y, val_dt))
+        out = fn_physical(x_phys, y_phys, *args)
+        return out[ss.unpermute]
+
+    return fn

@@ -152,3 +152,46 @@ def test_cg_dd_sharded(rng):
     want = np.linalg.solve(coo.to_dense(), b)
     assert int(res.iterations) > 0
     np.testing.assert_allclose(x, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_stream_power_law(rng):
+    """Row-sharded stream SpMV (power-law across the mesh): per-device
+    sort-based pipelines under shard_map, x allgathered, SPMD-uniform
+    plan shapes. CPU interpret-mode dd degrades to ~f32 (known caveat)."""
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    coo = power_law(2500, 6, seed=3)
+    x = rng.rand(coo.num_columns)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    for part in ("rows", "nonzeros"):
+        ss = shard_stream(coo, 8, partition=part, value_dtype=np.float64)
+        fn = sharded_stream_spmv_fn(ss)
+        got = np.asarray(fn(ss, x), np.float64)
+        assert np.max(np.abs(got - want)) / scale < 5e-5
+    y0 = rng.randn(coo.num_rows)
+    got2 = np.asarray(fn(ss, x, y0), np.float64)
+    assert np.max(np.abs(got2 - (want + y0))) / scale < 5e-5
+
+
+def test_sharded_stream_f32_and_explicit_rows(rng):
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    coo = power_law(1600, 5, seed=5)
+    n = coo.num_rows
+    counts = [n // 8] * 7
+    counts.append(n - sum(counts))
+    ss = shard_stream(coo, 8, rows_per_device=counts,
+                      value_dtype=np.float32)
+    fn = sharded_stream_spmv_fn(ss)
+    x = rng.rand(coo.num_columns)
+    got = np.asarray(fn(ss, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    assert np.max(np.abs(got - want)) / scale < 2e-4
