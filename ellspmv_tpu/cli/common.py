@@ -448,20 +448,38 @@ def run(argv: list[str], program: str, fmt: str) -> int:
 
     # Sharded path when requested
     if opts.devices > 1:
-        from ellspmv_tpu.parallel.spmv import shard_matrix, sharded_spmv_fn
-        try:
-            sharded = shard_matrix(
-                mat, opts.devices,
-                partition=opts.partition,
-                rows_per_device=opts.rows_per_thread)
-        except (TypeError, ValueError) as e:
-            sys.stderr.write(f"{program}: {e}\n")
-            return 1
-        spmv_fn = sharded_spmv_fn(sharded, backend=opts.backend)
-        mat_for_bench = sharded
-        if opts.verbose >= 2:
-            for line in sharded.workload_report():
-                log.write(line + "\n")
+        from ellspmv_tpu.formats.stream import StreamMatrix
+        if isinstance(mat, StreamMatrix):
+            # sort-based pipeline row-sharded: per-device local plans
+            # under shard_map, x allgathered (parallel/stream.py)
+            from ellspmv_tpu.parallel.stream import (shard_stream,
+                                                     sharded_stream_spmv_fn)
+            try:
+                sharded = shard_stream(
+                    coo, opts.devices, partition=opts.partition,
+                    rows_per_device=opts.rows_per_thread,
+                    value_dtype=opts.precision)
+            except (TypeError, ValueError) as e:
+                sys.stderr.write(f"{program}: {e}\n")
+                return 1
+            spmv_fn = sharded_stream_spmv_fn(sharded)
+            mat_for_bench = sharded
+        else:
+            from ellspmv_tpu.parallel.spmv import (shard_matrix,
+                                                   sharded_spmv_fn)
+            try:
+                sharded = shard_matrix(
+                    mat, opts.devices,
+                    partition=opts.partition,
+                    rows_per_device=opts.rows_per_thread)
+            except (TypeError, ValueError) as e:
+                sys.stderr.write(f"{program}: {e}\n")
+                return 1
+            spmv_fn = sharded_spmv_fn(sharded, backend=opts.backend)
+            mat_for_bench = sharded
+            if opts.verbose >= 2:
+                for line in sharded.workload_report():
+                    log.write(line + "\n")
     else:
         if opts.backend == "auto":
             # library dispatch (and, for the chained protocol, the

@@ -307,3 +307,18 @@ def test_format_auto_cli(tmp_path, rng, capsys):
     y_auto = read_vector(io.BytesIO(out_auto.encode()))
     np.testing.assert_allclose(y_auto, y_ref, rtol=1e-5, atol=1e-5)
     assert "auto_from_coo" in err
+
+
+def test_format_stream_sharded_cli(tmp_path, rng, capsys):
+    """--format=stream --devices=N runs the row-sharded sort-based
+    pipeline under shard_map."""
+    coo = random_coo(rng, 64, 64, 400)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    _, out_ref, _ = run_cli(ellspmv.main, [p], capsys)
+    rc, out_s, err = run_cli(
+        ellspmv.main, ["--format=stream", "--devices=4", p], capsys)
+    assert rc == 0, err
+    y_ref = read_vector(io.BytesIO(out_ref.encode()))
+    y_s = read_vector(io.BytesIO(out_s.encode()))
+    np.testing.assert_allclose(y_s, y_ref, rtol=1e-5, atol=1e-5)
