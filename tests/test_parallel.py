@@ -195,3 +195,37 @@ def test_sharded_stream_f32_and_explicit_rows(rng):
     want = coo_spmv_numpy(coo, x)
     scale = max(np.max(np.abs(want)), 1.0)
     assert np.max(np.abs(got - want)) / scale < 2e-4
+
+
+def test_sharded_stream_edge_cases(rng):
+    """Tiny matrices (fewer rows than devices), empty matrices, a row
+    that splits, and all-entries-on-one-device skew."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    cases = [
+        CooMatrix(5, 9, np.array([0, 1, 4, 4], np.int32),
+                  np.array([8, 0, 3, 3], np.int32),
+                  np.array([1.0, 2.0, 3.0, 4.0])),
+        CooMatrix(6, 6, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                  np.zeros(0)),
+        CooMatrix(40, 50,
+                  np.concatenate([np.full(700, 2),
+                                  rng.randint(0, 40, 300)]).astype(np.int32),
+                  rng.randint(0, 50, 1000).astype(np.int32),
+                  rng.randn(1000)),
+        CooMatrix(96, 96, rng.randint(90, 96, 500).astype(np.int32),
+                  rng.randint(0, 96, 500).astype(np.int32),
+                  rng.randn(500)),
+    ]
+    for coo in cases:
+        for D in (3, 8):
+            ss = shard_stream(coo, D, value_dtype=np.float64)
+            fn = sharded_stream_spmv_fn(ss)
+            x = rng.rand(coo.num_columns)
+            got = np.asarray(fn(ss, x), np.float64)
+            want = coo_spmv_numpy(coo.expand_symmetry(), x)
+            scale = max(np.max(np.abs(want), initial=0.0), 1.0)
+            assert np.max(np.abs(got - want), initial=0.0) / scale < 5e-5
