@@ -60,6 +60,17 @@ class SellMatrix:
         return sum(b.ellsize for b in self.buckets)
 
     @property
+    def trivial_reassembly(self) -> bool:
+        """True when y needs no reassembly at all: one bucket in natural
+        tile order, no tail/length-sort/row-splitting (e.g. the CSR repack
+        of a uniform-rowsize matrix) — sell_spmv then skips the gather and
+        concat passes entirely."""
+        return (len(self.buckets) == 1 and self.tail is None
+                and self.row_unperm is None and self.extra_rows is None
+                and bool((np.asarray(self.order)
+                          == np.arange(len(np.asarray(self.order)))).all()))
+
+    @property
     def tailsize(self) -> int:
         return 0 if self.tail is None else self.tail.csrsize
 
@@ -259,6 +270,11 @@ def sell_spmv(sm: SellMatrix, x, y=None, backend: str = "auto"):
     from ellspmv_tpu.ops.csr_xla import csr_spmv_xla
 
     x = jnp.asarray(x)
+    if sm.trivial_reassembly:
+        out = _spmv(sm.buckets[0], x, None, backend=backend)[:sm.num_rows]
+        if y is not None:
+            out = out + jnp.asarray(y).astype(out.dtype)
+        return out
     R = sm.slice_rows
     n_sub = sm.num_sub_rows if sm.num_sub_rows is not None else sm.num_rows
     parts = []

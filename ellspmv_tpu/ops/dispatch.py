@@ -114,6 +114,19 @@ def traceable_spmv(matrix, backend: str = "auto"):
     if isinstance(matrix, SellMatrix):
         import numpy as _np
 
+        if matrix.trivial_reassembly:
+            # one bucket, natural order: no reassembly passes at all
+            op0, fn0 = traceable_spmv(matrix.buckets[0], backend=backend)
+            n = matrix.num_rows
+
+            def fn_triv(op, x, y=None):
+                out = fn0(op, x, None)[:n]
+                if y is not None:
+                    out = out + y.astype(out.dtype)
+                return out
+
+            return op0, fn_triv
+
         subs = [traceable_spmv(b, backend=backend) for b in matrix.buckets]
         sub_fns = [f for _, f in subs]
         order = jnp.asarray(_np.asarray(matrix.order))
