@@ -20,9 +20,11 @@ The architecture is TPU-first, not a port:
 """
 
 from ellspmv_tpu.config import Config, default_index_dtype, select_index_dtype
+from ellspmv_tpu.formats.auto import auto_from_coo
 from ellspmv_tpu.formats.coo import CooMatrix
 from ellspmv_tpu.formats.ell import EllMatrix, ell_from_coo
 from ellspmv_tpu.formats.csr import CsrMatrix, csr_from_coo
+from ellspmv_tpu.formats.stream import StreamMatrix, stream_from_coo
 from ellspmv_tpu.io.mtx import (
     MtxHeader,
     read_matrix,
@@ -39,6 +41,8 @@ __all__ = [
     "CsrMatrix",
     "EllMatrix",
     "MtxHeader",
+    "StreamMatrix",
+    "auto_from_coo",
     "csr_from_coo",
     "default_index_dtype",
     "ell_from_coo",
@@ -46,5 +50,6 @@ __all__ = [
     "read_vector",
     "select_index_dtype",
     "spmv",
+    "stream_from_coo",
     "write_vector",
 ]
