@@ -464,6 +464,9 @@ def run(argv: list[str], program: str, fmt: str) -> int:
                 return 1
             spmv_fn = sharded_stream_spmv_fn(sharded)
             mat_for_bench = sharded
+            if opts.verbose >= 2:
+                for line in sharded.workload_report():
+                    log.write(line + "\n")
         else:
             from ellspmv_tpu.parallel.spmv import (shard_matrix,
                                                    sharded_spmv_fn)

@@ -73,6 +73,19 @@ class ShardedStream:
     def worksize(self):
         return self.num_nonzeros
 
+    nnz_per_device: np.ndarray | None = None
+
+    def workload_report(self) -> list[str]:
+        """Per-device rows/nonzeros table — the `-vv` workload report
+        (csrspmv.c:2289-2338)."""
+        lines = ["device  rows       nonzeros"]
+        rows_per = np.diff(self.boundaries)
+        for d in range(self.mesh.devices.size):
+            nnz = (0 if self.nnz_per_device is None
+                   else int(self.nnz_per_device[d]))
+            lines.append(f"{d:<7d} {rows_per[d]:<10d} {nnz}")
+        return lines
+
 
 def shard_stream(coo: CooMatrix, n_devices: int | None = None,
                  partition: str = "rows", rows_per_device=None,
@@ -205,7 +218,8 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
         x_block=_round_up(max(m, 1), D) // D,
         unpermute=jnp.asarray(unperm), dd=dd,
         prod_args=prod_args, prod_cfg=prod_cfg,
-        sum_leaves=sum_leaves, sum_treedef=treedef)
+        sum_leaves=sum_leaves, sum_treedef=treedef,
+        nnz_per_device=np.array([len(c) for c in per_cols]))
 
 
 def sharded_stream_spmv_fn(ss: ShardedStream):

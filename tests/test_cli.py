@@ -322,3 +322,14 @@ def test_format_stream_sharded_cli(tmp_path, rng, capsys):
     y_ref = read_vector(io.BytesIO(out_ref.encode()))
     y_s = read_vector(io.BytesIO(out_s.encode()))
     np.testing.assert_allclose(y_s, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_format_stream_sharded_workload_report(tmp_path, rng, capsys):
+    coo = random_coo(rng, 64, 64, 300)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    rc, _, err = run_cli(
+        ellspmv.main, ["--format=stream", "--devices=4", "-q", "-v", "-v",
+                       "--papi-event-per-thread", p], capsys)
+    assert rc == 0, err
+    assert "device" in err and "nonzeros" in err
