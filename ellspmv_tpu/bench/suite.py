@@ -111,10 +111,13 @@ def run_suite(quick: bool = False, as_json: bool = False,
     n = 1_000_000 // scale
     coo = power_law(n, 8, seed=0)
     x = np.random.RandomState(2).rand(n)
-    ell_pad = ell_from_coo(coo, value_dtype=np.float64)
+    # padded-ELL size computed analytically: materializing rows x max-nnz
+    # is exactly the blowup this config exists to avoid (373 GiB at full
+    # size)
+    ellsize_pad = n * int(np.bincount(coo.rowidx, minlength=n).max())
     strm = stream_from_coo(coo, value_dtype=np.float64)
     note = (f"{strm.worksize:,} entries (padding-free) vs padded ELL "
-            f"{ell_pad.ellsize:,} slots, {len(strm.ddsum.levels)} sum "
+            f"{ellsize_pad:,} slots, {len(strm.ddsum.levels)} sum "
             "levels")
     record("config3 power-law stream f64", _bench(strm, x, 3), note=note)
     # correctness spot check against the exact host oracle
