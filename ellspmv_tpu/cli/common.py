@@ -336,69 +336,29 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             log.write(f"reorder_rcm: {time.perf_counter() - t0:.6f} "
                       "seconds\n")
 
-    # Phase 3: convert (timed, like ellspmv.c:1379-1486)
+    # Phase 3: convert (timed, like ellspmv.c:1379-1486). Wrapped so a
+    # padding blowup (ELLPACK on a power-law matrix can demand rows x
+    # max-row-nnz slots) reports cleanly like the reference's malloc
+    # failure paths (ellspmv.c:1418-1424) instead of a traceback.
     t0 = time.perf_counter()
-    if csr:
-        mat = csr_from_coo(coo, separate_diagonal=opts.separate_diagonal,
-                           sort_rows=opts.sort_rows,
-                           value_dtype=opts.precision,
-                           index_dtype=(f"int{opts.index_width}"
-                                        if opts.index_width else None))
-        convert_name = "csr_from_coo"
-        per_row = (f", {mat.rowsize_min} to {mat.rowsize_max} "
-                   f"nonzeros per row")
-    elif opts.format == "auto":
-        from ellspmv_tpu.formats.auto import auto_from_coo
-        mat = auto_from_coo(coo, separate_diagonal=opts.separate_diagonal,
-                            sort_rows=True, value_dtype=opts.precision,
-                            index_dtype=(f"int{opts.index_width}"
-                                         if opts.index_width else None))
-        convert_name = f"auto_from_coo [{mat._auto_choice}]"
-        per_row = f", {mat._auto_reason}"
-    elif opts.format == "dia":
-        from ellspmv_tpu.formats.dia import dia_from_coo
-        mat = dia_from_coo(coo, value_dtype=opts.precision)
-        if mat is None:
-            sys.stderr.write(f"{program}: --format=dia: matrix has too "
-                             "many distinct diagonals for DIA\n")
-            return 1
-        convert_name = "dia_from_coo"
-        per_row = f", {mat.data.shape[0]} diagonals"
-    elif opts.format == "sell":
-        from ellspmv_tpu.formats.sell import sell_from_coo
-        mat = sell_from_coo(coo, sort_rows=True, length_sort=True,
-                            value_dtype=opts.precision,
-                            index_dtype=(f"int{opts.index_width}"
-                                         if opts.index_width else None))
-        convert_name = "sell_from_coo"
-        per_row = f", {len(mat.buckets)} slice buckets"
-    elif opts.format == "hybrid":
-        from ellspmv_tpu.formats.hybrid import hybrid_from_coo
-        mat = hybrid_from_coo(coo, value_dtype=opts.precision,
-                              index_dtype=(f"int{opts.index_width}"
-                                           if opts.index_width else None))
-        convert_name = "hybrid_from_coo"
-        per_row = f", hub fraction {mat.hub_nnz_fraction:.2f}"
-    elif opts.format == "stream":
-        from ellspmv_tpu.formats.stream import stream_from_coo
-        mat = stream_from_coo(coo,
-                              separate_diagonal=opts.separate_diagonal,
-                              value_dtype=opts.precision)
-        convert_name = "stream_from_coo"
-        per_row = f", {len(mat.ddsum.levels)} sum levels"
-    else:
-        mat = ell_from_coo(coo, separate_diagonal=opts.separate_diagonal,
-                           sort_rows=opts.sort_rows,
-                           value_dtype=opts.precision,
-                           index_dtype=(f"int{opts.index_width}"
-                                        if opts.index_width else None))
-        convert_name = "ell_from_coo"
-        per_row = f", {mat.rowsize} nonzeros per row"
+    try:
+        mat, convert_name, per_row = _convert(coo, opts, csr, program)
+    except MemoryError as e:
+        sys.stderr.write(
+            f"{program}: conversion failed: {e}\n"
+            f"{program}: hint: --format=stream or --format=auto avoid "
+            "ELLPACK padding on skewed matrices\n")
+        return 1
+    except _ConvertError as e:
+        sys.stderr.write(f"{program}: {e}\n")
+        return 1
     t_conv = time.perf_counter() - t0
     if opts.verbose:
         log.write(f"{convert_name}: {t_conv:.6f} seconds, "
                   f"{mat.num_rows:,} rows, {mat.num_nonzeros:,} nonzeros"
                   f"{per_row}\n")
+
+
 
     # Phase 4: vectors
     try:
@@ -608,3 +568,68 @@ def _per_device_report(res, sharded, opts, log):
         frac = int(nnz) / total_nnz
         log.write(f"  {d:<7s} {r:<10s} {nnz:<10s} "
                   f"{int(m.num_flops * frac)}\n")
+
+
+class _ConvertError(RuntimeError):
+    pass
+
+
+def _convert(coo, opts, csr, program):
+    from ellspmv_tpu.formats.csr import csr_from_coo
+    from ellspmv_tpu.formats.ell import ell_from_coo
+    if csr:
+        mat = csr_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                           sort_rows=opts.sort_rows,
+                           value_dtype=opts.precision,
+                           index_dtype=(f"int{opts.index_width}"
+                                        if opts.index_width else None))
+        convert_name = "csr_from_coo"
+        per_row = (f", {mat.rowsize_min} to {mat.rowsize_max} "
+                   f"nonzeros per row")
+    elif opts.format == "auto":
+        from ellspmv_tpu.formats.auto import auto_from_coo
+        mat = auto_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                            sort_rows=True, value_dtype=opts.precision,
+                            index_dtype=(f"int{opts.index_width}"
+                                         if opts.index_width else None))
+        convert_name = f"auto_from_coo [{mat._auto_choice}]"
+        per_row = f", {mat._auto_reason}"
+    elif opts.format == "dia":
+        from ellspmv_tpu.formats.dia import dia_from_coo
+        mat = dia_from_coo(coo, value_dtype=opts.precision)
+        if mat is None:
+            raise _ConvertError("--format=dia: matrix has too many "
+                                "distinct diagonals for DIA")
+        convert_name = "dia_from_coo"
+        per_row = f", {mat.data.shape[0]} diagonals"
+    elif opts.format == "sell":
+        from ellspmv_tpu.formats.sell import sell_from_coo
+        mat = sell_from_coo(coo, sort_rows=True, length_sort=True,
+                            value_dtype=opts.precision,
+                            index_dtype=(f"int{opts.index_width}"
+                                         if opts.index_width else None))
+        convert_name = "sell_from_coo"
+        per_row = f", {len(mat.buckets)} slice buckets"
+    elif opts.format == "hybrid":
+        from ellspmv_tpu.formats.hybrid import hybrid_from_coo
+        mat = hybrid_from_coo(coo, value_dtype=opts.precision,
+                              index_dtype=(f"int{opts.index_width}"
+                                           if opts.index_width else None))
+        convert_name = "hybrid_from_coo"
+        per_row = f", hub fraction {mat.hub_nnz_fraction:.2f}"
+    elif opts.format == "stream":
+        from ellspmv_tpu.formats.stream import stream_from_coo
+        mat = stream_from_coo(coo,
+                              separate_diagonal=opts.separate_diagonal,
+                              value_dtype=opts.precision)
+        convert_name = "stream_from_coo"
+        per_row = f", {len(mat.ddsum.levels)} sum levels"
+    else:
+        mat = ell_from_coo(coo, separate_diagonal=opts.separate_diagonal,
+                           sort_rows=opts.sort_rows,
+                           value_dtype=opts.precision,
+                           index_dtype=(f"int{opts.index_width}"
+                                        if opts.index_width else None))
+        convert_name = "ell_from_coo"
+        per_row = f", {mat.rowsize} nonzeros per row"
+    return mat, convert_name, per_row

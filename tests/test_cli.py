@@ -333,3 +333,18 @@ def test_format_stream_sharded_workload_report(tmp_path, rng, capsys):
                        "--papi-event-per-thread", p], capsys)
     assert rc == 0, err
     assert "device" in err and "nonzeros" in err
+
+
+def test_conversion_memory_error_clean(mtx_file, capsys, monkeypatch):
+    """A padding-blowup OOM during conversion reports cleanly with a
+    format hint, like the reference's malloc failure paths
+    (ellspmv.c:1418-1424)."""
+    from ellspmv_tpu.cli import common
+
+    def boom(*a, **k):
+        raise MemoryError("Unable to allocate 373. GiB")
+
+    monkeypatch.setattr(common, "_convert", boom)
+    rc, _, err = run_cli(ellspmv.main, [mtx_file], capsys)
+    assert rc == 1
+    assert "conversion failed" in err and "--format=stream" in err
