@@ -279,7 +279,17 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         return 1
 
     log = sys.stderr
+    # persistent compile cache: remote TPU compiles run 30s+ (and the
+    # service occasionally degrades to minutes); cache across CLI runs
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
     import jax
+    try:   # in case jax was imported before the env default above
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
 
     if opts.precision == "float64":
         jax.config.update("jax_enable_x64", True)
