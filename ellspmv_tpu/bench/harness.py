@@ -130,6 +130,7 @@ class BenchResult:
     y: jax.Array | None         # result after warmup+timed iterations
     protocol: str
     hbm_peak: float             # bytes/s roofline denominator
+    warning: str | None = None  # e.g. dispatch-dominated per_iter timing
 
     @property
     def best(self) -> float:
@@ -170,6 +171,22 @@ def _sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
+def _timed_call(fn, *args) -> float:
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    return time.perf_counter() - t0
+
+
+def _dispatch_warning(best: float, dispatch: float) -> str | None:
+    """Per-iteration times under 3x the host->device round trip measure
+    dispatch, not the kernel (the remote tunnel adds ~30 ms per call)."""
+    if best < 3 * dispatch:
+        return (f"per-iteration times are dispatch-dominated (dispatch "
+                f"round trip ~{dispatch * 1e3:.1f} ms); use "
+                "--protocol=chained for kernel-time measurements")
+    return None
+
+
 def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
                    repeat: int = 1, warmup: int = 0,
                    protocol: str = "per_iter",
@@ -201,7 +218,20 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
             yk = spmv_fn(matrix, x, yk)
             _sync(yk)
             times.append(time.perf_counter() - t0)
-        return BenchResult(times, metrics, yk, protocol, hbm_peak)
+        # warn when the measurement is dominated by host->device dispatch
+        # (the remote-tunneled TPU adds ~30 ms per call): time a no-op
+        # round trip and compare (csrspmv has no analogue; its timer is
+        # in-process, ellspmv.c:1825-1847)
+        try:
+            noop = jax.jit(lambda v: v + 1)
+            z = jnp.zeros((), np.float32)
+            _sync(noop(z))
+            dispatch = min(_timed_call(noop, z) for _ in range(3))
+            warning = _dispatch_warning(min(times), dispatch)
+        except Exception:
+            warning = None
+        return BenchResult(times, metrics, yk, protocol, hbm_peak,
+                           warning=warning)
 
     if protocol == "chained":
         if matrix.num_rows != matrix.num_columns:
@@ -227,7 +257,13 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
                 operand, fn = matrix, (lambda m, xv, yv:
                                        _dispatch(m, xv, yv))
         else:
-            operand, fn = matrix, spmv_fn
+            tr = getattr(spmv_fn, "traceable", None)
+            if tr is not None:
+                # e.g. the sharded stream: (operand, fn) with plan arrays
+                # as jit arguments instead of closure constants
+                operand, fn = tr
+            else:
+                operand, fn = matrix, spmv_fn
 
         def make_loop(iters: int):
             @jax.jit

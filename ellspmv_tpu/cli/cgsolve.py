@@ -110,17 +110,32 @@ def main(argv=None) -> int:
     if devices > 1:
         from ellspmv_tpu.parallel.spmv import shard_matrix, sharded_spmv_fn
         res = None
+        sm_dd = None
         if precision == "float64":
             # distributed dd-vector CG: the whole solve inside one
-            # shard_map; vectors stay f32 (hi, lo) pairs on every device
+            # shard_map; vectors stay f32 (hi, lo) pairs on every device.
+            # Only plan-eligibility failures (no Pallas plan, bad layout)
+            # fall back to the generic path; errors from the solve itself
+            # propagate rather than masking solver bugs.
+            from ellspmv_tpu.parallel.solver import (cg_dd_ineligible,
+                                                     cg_dd_sharded)
+            reason = None
             try:
-                from ellspmv_tpu.parallel.solver import cg_dd_sharded
-                sm = shard_matrix(ell, devices, x_layout="physical")
-                t0 = time.perf_counter()
-                res = cg_dd_sharded(sm, jax.numpy.asarray(b), tol=tol,
-                                    maxiter=maxiter)
-            except ValueError:
-                res = None     # no Pallas plan etc. -> generic path
+                sm_dd = shard_matrix(ell, devices, x_layout="physical")
+            except ValueError as e:
+                reason = str(e)
+            if sm_dd is not None:
+                reason = cg_dd_ineligible(sm_dd)
+            if reason is not None:
+                sm_dd = None
+                if verbose:
+                    sys.stderr.write(
+                        f"{program}: note: dd-sharded CG unavailable "
+                        f"({reason}); using generic CG\n")
+        if sm_dd is not None:
+            t0 = time.perf_counter()
+            res = cg_dd_sharded(sm_dd, jax.numpy.asarray(b), tol=tol,
+                                maxiter=maxiter)
         if res is None:
             try:
                 sm = shard_matrix(ell, devices)

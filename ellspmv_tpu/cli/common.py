@@ -133,6 +133,10 @@ def print_help(program: str, csr: bool, f=None):
     f.write("\n")
     f.write("  -h, --help                display this help and exit\n")
     f.write("  --version                 display version information and exit\n")
+    f.write("\n")
+    f.write(" Compiled kernels are cached persistently in ~/.jax_cache\n")
+    f.write(" (override: JAX_COMPILATION_CACHE_DIR; disable:\n")
+    f.write(" ELLSPMV_TPU_NO_COMPILE_CACHE=1).\n")
 
 
 def print_version(program: str, f=None):
@@ -280,16 +284,20 @@ def run(argv: list[str], program: str, fmt: str) -> int:
 
     log = sys.stderr
     # persistent compile cache: remote TPU compiles run 30s+ (and the
-    # service occasionally degrades to minutes); cache across CLI runs
+    # service occasionally degrades to minutes); cache across CLI runs.
+    # Documented in --help; disable with ELLSPMV_TPU_NO_COMPILE_CACHE=1 or
+    # point elsewhere by pre-setting JAX_COMPILATION_CACHE_DIR.
     import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.jax_cache"))
+    if not os.environ.get("ELLSPMV_TPU_NO_COMPILE_CACHE"):
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.expanduser("~/.jax_cache"))
     import jax
-    try:   # in case jax was imported before the env default above
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-    except Exception:
-        pass
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:   # in case jax was imported before the env default above
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+        except Exception:
+            pass
 
     if opts.precision == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -309,6 +317,14 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             and opts.verbose):
         log.write(f"{program}: note: --format={opts.format} stores the "
                   "diagonal inline; --separate-diagonal ignored\n")
+    if opts.format == "auto" and opts.verbose:
+        if not opts.sort_rows:
+            log.write(f"{program}: note: --format=auto implies sorted rows "
+                      "(column locality drives the format choice)\n")
+        if opts.index_width:
+            log.write(f"{program}: note: --format=auto may choose the "
+                      "stream format, which stores int32 sort keys "
+                      "regardless of --index-width\n")
 
     # Phase 2: read the matrix (timed, like ellspmv.c:1264-1377)
     t0 = time.perf_counter()
@@ -428,6 +444,7 @@ def run(argv: list[str], program: str, fmt: str) -> int:
                 sharded = shard_stream(
                     coo, opts.devices, partition=opts.partition,
                     rows_per_device=opts.rows_per_thread,
+                    separate_diagonal=opts.separate_diagonal,
                     value_dtype=opts.precision)
             except (TypeError, ValueError) as e:
                 sys.stderr.write(f"{program}: {e}\n")
@@ -478,6 +495,8 @@ def run(argv: list[str], program: str, fmt: str) -> int:
     if opts.verbose:
         for line in res.iteration_lines():
             log.write(f"{kernel_name}: {line}\n")
+        if res.warning:
+            log.write(f"{program}: warning: {res.warning}\n")
     if opts.papi_event_file:
         from ellspmv_tpu.bench import metrics as metrics_mod
         try:

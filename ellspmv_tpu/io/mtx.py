@@ -168,10 +168,20 @@ def _read_body_numpy(f, num_fields: int, num_lines: int) -> np.ndarray:
     """Bulk-parse `num_lines` whitespace-separated numeric rows.
 
     The reference parses line-at-a-time with strtod (ellspmv.c:825-844); here
-    the whole body is tokenized in one NumPy call.
+    the whole body is tokenized in one NumPy call, with the reference's
+    per-token strictness (parse_double, ellspmv.c:436-460): garbage tokens
+    and mid-body ``%`` comment lines are EINVAL (comments are only legal
+    between banner and size line, ellspmv.c:744-758), and out-of-range
+    values like ``1e999`` are ERANGE. Divergence note: strtod accepts
+    literal ``inf``/``nan`` tokens without errno; those are rejected here
+    too, since overflow and literal infinities are indistinguishable after
+    bulk parsing (and no real Matrix Market file contains them).
     """
-    data = np.loadtxt(f, dtype=np.float64, comments="%", ndmin=2,
-                      max_rows=num_lines if num_lines > 0 else 1)
+    try:
+        data = np.loadtxt(f, dtype=np.float64, comments=None, ndmin=2,
+                          max_rows=num_lines if num_lines > 0 else 1)
+    except ValueError as e:
+        raise MtxFormatError(f"invalid matrix data: {e}") from e
     if num_lines == 0:
         return np.empty((0, num_fields), dtype=np.float64)
     if data.shape[0] != num_lines:
@@ -180,6 +190,11 @@ def _read_body_numpy(f, num_fields: int, num_lines: int) -> np.ndarray:
     if data.shape[1] != num_fields:
         raise MtxFormatError(
             f"expected {num_fields} fields per line, found {data.shape[1]}")
+    if not np.isfinite(data).all():
+        bad = np.argwhere(~np.isfinite(data))[0]
+        raise MtxFormatError(
+            f"value out of range at data line {bad[0] + 1}, "
+            f"field {bad[1] + 1}")
     return data
 
 

@@ -117,8 +117,15 @@ def fem_mesh_2d(nx: int, ny: int | None = None, extras: int = 4,
     keys = rows * n + cols
     _, keep = np.unique(keys, return_index=True)
     rows, cols = rows[keep], cols[keep]
-    vals = rng.randn(len(rows)).astype(value_dtype)
-    vals[rows == cols] = 24.0 + rng.rand((rows == cols).sum())
+    # one value per unordered pair so the matrix is numerically symmetric
+    # (CG on it is then mathematically valid), with a boosted diagonal for
+    # strict diagonal dominance => SPD
+    pair = np.minimum(rows, cols) * n + np.maximum(rows, cols)
+    uniq, inv = np.unique(pair, return_inverse=True)
+    pair_vals = rng.randn(len(uniq))
+    vals = pair_vals[inv].astype(value_dtype)
+    diag = rows == cols
+    vals[diag] = 24.0 + rng.rand(diag.sum())
     idx_dt = np.int32 if n < 2**31 else np.int64
     return CooMatrix(n, n, rows.astype(idx_dt), cols.astype(idx_dt), vals)
 

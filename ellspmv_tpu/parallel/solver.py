@@ -35,6 +35,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def cg_dd_ineligible(sm: ShardedMatrix) -> str | None:
+    """Why `cg_dd_sharded` cannot run on `sm` (None = eligible).
+
+    Callers that want a graceful fallback check this instead of catching
+    ValueError, so genuine failures inside the solve still propagate."""
+    if not sm.x_physical:
+        return "needs x_layout='physical' (see shard_matrix)"
+    parts = _sharded_plan(sm)
+    if parts is None:
+        return "matrix unsupported by the sharded Pallas kernel"
+    if not parts.dims.dd:
+        return "fp64 path only; use cg() for f32 matrices"
+    return None
+
+
 def cg_dd_sharded(sm: ShardedMatrix, b, tol: float = 1e-8,
                   maxiter: int = 1000):
     """fp64 CG over a row-sharded ELL matrix with double-double vectors.
@@ -47,16 +62,11 @@ def cg_dd_sharded(sm: ShardedMatrix, b, tol: float = 1e-8,
     from ellspmv_tpu.ops.dd_reduce import _CHUNK, _dd_vdot_split_impl
     from ellspmv_tpu.ops.dd_vec import DDVec, dd_axpy
 
-    if not sm.x_physical:
-        raise ValueError("cg_dd_sharded needs x_layout='physical' "
-                         "(see shard_matrix)")
+    reason = cg_dd_ineligible(sm)
+    if reason is not None:
+        raise ValueError(f"cg_dd_sharded: {reason}")
     parts = _sharded_plan(sm)
-    if parts is None:
-        raise ValueError("matrix unsupported by the sharded Pallas kernel")
     d_ = parts.dims
-    if not d_.dd:
-        raise ValueError("cg_dd_sharded is the fp64 path; use cg() for "
-                         "f32 matrices")
     mesh, axis = sm.mesh, sm.mesh.axis_names[0]
     n_dev = mesh.devices.size
     block = sm.block

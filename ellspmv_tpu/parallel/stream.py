@@ -56,6 +56,9 @@ class ShardedStream:
     # sum stage: stacked leaves + shared treedef
     sum_leaves: list
     sum_treedef: object
+    # split diagonal (--separate-diagonal): per-device dense blocks
+    diag_args: tuple = ()
+    diag_pad: int = 0               # extra x padding for the diag slice
 
     @property
     def num_rows(self):
@@ -89,9 +92,12 @@ class ShardedStream:
 
 def shard_stream(coo: CooMatrix, n_devices: int | None = None,
                  partition: str = "rows", rows_per_device=None,
-                 mesh=None, value_dtype=None,
+                 mesh=None, value_dtype=None, separate_diagonal: bool = False,
                  row_tile: int = 4096) -> ShardedStream:
-    """Build the row-sharded stream plan from COO."""
+    """Build the row-sharded stream plan from COO.
+
+    `separate_diagonal` splits the diagonal into a per-device dense vector
+    added as `y[i] += ad[i]*x[i]` (ellgemvsd's epilogue, ellspmv.c:1177)."""
     from ellspmv_tpu.ops import plan as plan_mod
     from ellspmv_tpu.ops.stream_sum import build_stream_sum_uniform
     from ellspmv_tpu.formats.ell import EllMatrix
@@ -106,6 +112,10 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
     nnz = coo.num_nonzeros
     val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
     dd = val_dt == np.dtype(np.float64)
+
+    diag_full = None
+    if separate_diagonal:
+        coo, diag_full = coo.split_diagonal()
 
     # row-block boundaries (rows / nonzeros / explicit — csrspmv.c:2022-71)
     if rows_per_device is not None:
@@ -197,6 +207,22 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
     prod_cfg = dict(S=1, G=Gp, KS=KS, K128=K128, T=T, nx128=nx128,
                     unroll=KS <= 16)
 
+    # split diagonal: per-device dense block + its global row offset
+    diag_args = ()
+    diag_pad = 0
+    if diag_full is not None:
+        dblocks, dstarts = [], []
+        for d in range(D):
+            lo, hi = int(bounds[d]), int(bounds[d + 1])
+            blk = np.zeros(block, val_dt)
+            sl = diag_full[lo:min(hi, len(diag_full))]
+            blk[:len(sl)] = sl.astype(val_dt)
+            dblocks.append(blk)
+            dstarts.append(np.array([lo], np.int32))
+            diag_pad = max(diag_pad, lo + block - m)
+        diag_args = (dev(dblocks, 1), dev(dstarts, 1))
+        diag_pad = max(diag_pad, 0)
+
     # uniform sum plans over the padded local row blocks
     dests = []
     for d in range(D):
@@ -219,6 +245,7 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
         unpermute=jnp.asarray(unperm), dd=dd,
         prod_args=prod_args, prod_cfg=prod_cfg,
         sum_leaves=sum_leaves, sum_treedef=treedef,
+        diag_args=diag_args, diag_pad=diag_pad,
         nnz_per_device=np.array([len(c) for c in per_cols]))
 
 
@@ -237,12 +264,18 @@ def sharded_stream_spmv_fn(ss: ShardedStream):
     treedef = ss.sum_treedef
     val_dt = np.float64 if dd else np.float32
 
+    n_sum = len(ss.sum_leaves)
+    has_diag = len(ss.diag_args) > 0
+
     def local(*args):
         *op, x_blk, y_blk = args
         wb, qb, lcol, *vals_and_sum = op
         nv = 2 if dd else 1
         vals = vals_and_sum[:nv]
-        sum_leaves = vals_and_sum[nv:]
+        sum_leaves = vals_and_sum[nv:nv + n_sum]
+        dvec = dstart = None
+        if has_diag:
+            dvec, dstart = vals_and_sum[nv + n_sum:nv + n_sum + 2]
         wb, qb, lcol = wb[0], qb[0], lcol[0]
         vals = [v[0] for v in vals]
         plan = jax.tree_util.tree_unflatten(
@@ -272,16 +305,24 @@ def sharded_stream_spmv_fn(ss: ShardedStream):
                 ks_slot=None, nacc=1, interpret=interpret)
             acc = apply_stream_sum(plan, pv.reshape(-1),
                                    interpret=interpret)
+        if has_diag:
+            # ellgemvsd's epilogue y[i] += ad[i]*x[i] (ellspmv.c:1177) on
+            # this device's row block
+            xd = jax.lax.dynamic_slice(
+                jnp.pad(x_full, (0, ss.diag_pad)),
+                (dstart[0, 0],), (ss.block,))
+            acc = acc + dvec[0].astype(acc.dtype) * xd.astype(acc.dtype)
         return acc.astype(y_blk.dtype) + y_blk
 
-    n_op = len(ss.prod_args) + len(ss.sum_leaves)
     in_specs = tuple(P(axis, *([None] * (np.asarray(a).ndim - 1)))
                      for a in ss.prod_args) + \
         tuple(P(axis, *([None] * (np.asarray(l).ndim - 1)))
-              for l in ss.sum_leaves) + (P(axis), P(axis))
+              for l in ss.sum_leaves) + \
+        tuple(P(axis, *([None] * (np.asarray(a).ndim - 1)))
+              for a in ss.diag_args) + (P(axis), P(axis))
     mapped = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                            out_specs=P(axis), check_vma=False)
-    args = ss.prod_args + tuple(ss.sum_leaves)
+    args = ss.prod_args + tuple(ss.sum_leaves) + ss.diag_args
 
     @jax.jit
     def fn_physical(x_phys, y_phys, *op):
@@ -301,4 +342,24 @@ def sharded_stream_spmv_fn(ss: ShardedStream):
         out = fn_physical(x_phys, y_phys, *args)
         return out[ss.unpermute]
 
+    # traceable (operand, fn) form: plan/value arrays travel as jit
+    # ARGUMENTS so an enclosing jit (the bench harness's chained loop)
+    # does not embed them as compiled-program constants
+    def traceable_fn(op, x, y=None):
+        unperm = op[0]
+        rest = op[1:]
+        x = jnp.asarray(x, val_dt)
+        m_pad = ss.x_block * D
+        x_phys = jax.lax.with_sharding_constraint(
+            jnp.pad(x, (0, m_pad - x.shape[0])),
+            NamedSharding(mesh, P(axis)))
+        if y is None:
+            y_phys = jnp.zeros(ss.block * D, val_dt)
+        else:
+            y_phys = jnp.zeros(ss.block * D, val_dt).at[unperm].set(
+                jnp.asarray(y, val_dt))
+        out = mapped(*rest, x_phys, y_phys)
+        return out[unperm]
+
+    fn.traceable = ((ss.unpermute,) + tuple(args), traceable_fn)
     return fn

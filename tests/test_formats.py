@@ -146,3 +146,17 @@ def test_empty_matrix():
     csr = csr_from_coo(coo)
     np.testing.assert_array_equal(csr_spmv_numpy(csr, np.ones(4)),
                                   np.zeros(4))
+
+
+def test_fem_mesh_2d_is_spd_usable():
+    """fem_mesh_2d must be numerically symmetric (one value per unordered
+    pair) with a dominant diagonal, so CG demos on it are mathematically
+    valid."""
+    from ellspmv_tpu.models.generators import fem_mesh_2d
+    coo = fem_mesh_2d(12, 12, extras=3, seed=4)
+    a = np.zeros((coo.num_rows, coo.num_columns))
+    a[coo.rowidx, coo.colidx] = coo.values
+    np.testing.assert_array_equal(a, a.T)
+    # strict diagonal dominance => SPD
+    off = np.abs(a).sum(axis=1) - np.abs(np.diag(a))
+    assert (np.diag(a) > off).all()

@@ -136,3 +136,20 @@ def test_matrix_writer_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(got.rowidx, coo.rowidx)
     np.testing.assert_array_equal(got.colidx, coo.colidx)
     np.testing.assert_array_equal(got.values, coo.values)
+
+
+def test_strict_value_parsing():
+    """Value tokens get the reference's per-token strictness
+    (parse_double, ellspmv.c:436-460): overflow is ERANGE, garbage and
+    mid-body % comments are EINVAL (comments are only legal before the
+    size line, ellspmv.c:744-758)."""
+    txt = "%%MatrixMarket matrix coordinate real general\n2 2 1\n1 1 1e999\n"
+    with pytest.raises(MtxFormatError):
+        read_matrix(as_stream(txt))          # overflow -> inf
+    txt = ("%%MatrixMarket matrix coordinate real general\n2 2 2\n"
+           "1 1 1.0\n% stray comment\n2 2 2.0\n")
+    with pytest.raises(MtxFormatError):
+        read_matrix(as_stream(txt))          # comment inside the body
+    txt = "%%MatrixMarket matrix coordinate real general\n2 2 1\n1 1 abc\n"
+    with pytest.raises(MtxFormatError):
+        read_matrix(as_stream(txt))          # garbage token

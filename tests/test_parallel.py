@@ -229,3 +229,46 @@ def test_sharded_stream_edge_cases(rng):
             want = coo_spmv_numpy(coo.expand_symmetry(), x)
             scale = max(np.max(np.abs(want), initial=0.0), 1.0)
             assert np.max(np.abs(got - want), initial=0.0) / scale < 5e-5
+
+
+def test_sharded_stream_separate_diagonal(rng):
+    """--separate-diagonal on the sharded stream: the diagonal splits into
+    per-device dense epilogues (ellgemvsd's y[i] += ad[i]*x[i],
+    ellspmv.c:1177) instead of being silently re-inlined."""
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    coo = power_law(900, 5, seed=7)
+    x = rng.rand(coo.num_columns)
+    y0 = rng.randn(coo.num_rows)
+    want = coo_spmv_numpy(coo, x, y0)
+    ss = shard_stream(coo, 8, value_dtype=np.float64,
+                      separate_diagonal=True)
+    assert len(ss.diag_args) == 2          # the diagonal really split
+    fn = sharded_stream_spmv_fn(ss)
+    got = np.asarray(fn(ss, x, y0), np.float64)
+    scale = max(np.max(np.abs(want)), 1.0)
+    assert np.max(np.abs(got - want)) / scale < 5e-5
+
+
+def test_sharded_stream_traceable(rng):
+    """The chained-protocol form: plan/value arrays ride as jit ARGUMENTS
+    (an enclosing jit must not embed them as compiled constants)."""
+    import jax
+    import jax.numpy as jnp
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    coo = power_law(640, 4, seed=9)
+    ss = shard_stream(coo, 8, value_dtype=np.float64)
+    fn = sharded_stream_spmv_fn(ss)
+    operand, tfn = fn.traceable
+    x = rng.rand(coo.num_columns)
+    got = np.asarray(jax.jit(tfn)(operand, jnp.asarray(x)), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    assert np.max(np.abs(got - want)) / scale < 5e-5
