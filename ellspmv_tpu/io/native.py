@@ -129,6 +129,35 @@ def read_matrix(path: str, gzipped: bool | None = None,
         lib.mtxio_free(res)
 
 
+def edge_color(src, dst, max_colors: int = 128) -> np.ndarray:
+    """Bipartite edge coloring (native Euler-split walker, native/color.cc);
+    used by the static-permutation planner (ops/permute.py)."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native library not built")
+    if not getattr(lib, "_edge_color_bound", False):
+        lib.mtxio_edge_color.restype = ctypes.c_int32
+        lib.mtxio_edge_color.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib._edge_color_bound = True
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    out = np.empty(len(src), np.uint8)
+    rc = lib.mtxio_edge_color(
+        len(src),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(src.max()) + 1 if len(src) else 1,
+        int(dst.max()) + 1 if len(dst) else 1,
+        int(max_colors),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise NativeUnsupported(f"edge_color failed ({rc})")
+    return out.astype(np.int64)
+
+
 class _EllPackResult(ctypes.Structure):
     _fields_ = [
         ("colidx", ctypes.POINTER(ctypes.c_int32)),
