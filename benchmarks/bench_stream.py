@@ -1,0 +1,78 @@
+"""Config3 (power-law) stream-path benchmark: build + SpMV + oracle.
+
+Usage:  python benchmarks/bench_stream.py [--n 1000000] [--avg 7]
+        [--no-oracle] [--no-permute]
+
+Reports conversion time, whether the static router (ops/permute.py)
+replaced the level-1 sort, chained per-iteration kernel time, and the
+normwise error vs the exact host oracle.
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--avg", type=int, default=7)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-oracle", action="store_true")
+    ap.add_argument("--no-permute", action="store_true")
+    args = ap.parse_args()
+    if args.no_permute:
+        os.environ["ELLSPMV_TPU_NO_PERMUTE"] = "1"
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from ellspmv_tpu.bench.harness import benchmark_spmv
+    from ellspmv_tpu.formats.stream import stream_from_coo, stream_spmv
+    from ellspmv_tpu.models.generators import power_law
+
+    print(f"platform: {jax.devices()[0].platform} "
+          f"({jax.devices()[0].device_kind})", flush=True)
+    t0 = time.perf_counter()
+    coo = power_law(args.n, args.avg, seed=args.seed)
+    print(f"power_law({args.n}, {args.avg}): {coo.num_nonzeros:,} nnz "
+          f"({time.perf_counter() - t0:.2f} s)", flush=True)
+
+    t0 = time.perf_counter()
+    strm = stream_from_coo(coo, value_dtype=np.float64)
+    t_conv = time.perf_counter() - t0
+    perm = strm.ddsum.levels[0].perm
+    print(f"stream_from_coo: {t_conv:.2f} s, "
+          f"{len(strm.ddsum.levels)} levels, prod_len {strm.prod_len:,}, "
+          f"router: {'ON (HA=%d HB=%d NBi=%d NBo=%d)' % (perm.HA, perm.HB, perm.NBi, perm.NBo) if perm is not None else 'OFF (sort)'}",
+          flush=True)
+    if strm.prod is not None:
+        p = strm.prod.plan
+        print(f"product plan: {p.num_tiles} tiles, G={p.G}, KS={p.KS}, "
+              f"ks_mean={p.qb[:, 1, :].mean():.2f}, K128={p.K128}, "
+              f"slope={p.slope}, static={p.static_window}", flush=True)
+
+    x = np.random.RandomState(1).rand(coo.num_columns)
+    t0 = time.perf_counter()
+    res = benchmark_spmv(None, strm, x, repeat=args.repeat, warmup=2,
+                         protocol="chained")
+    print(f"bench wall: {time.perf_counter() - t0:.1f} s", flush=True)
+    print(f"spmv: {res.best * 1e3:.3f} ms/iter, "
+          f"{res.gnz_per_s():.2f} Gnz/s, {res.min_gb_per_s():.1f} GB/s",
+          flush=True)
+
+    if not args.no_oracle:
+        from ellspmv_tpu.ops.reference import coo_spmv_numpy
+        got = np.asarray(stream_spmv(strm, x), np.float64)
+        want = coo_spmv_numpy(coo, x)
+        err = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-300)
+        print(f"oracle normwise err: {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

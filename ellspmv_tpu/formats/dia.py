@@ -95,7 +95,12 @@ def _dia_spmv(data, x, y, offsets, num_rows, num_columns):
 
 
 def dia_spmv(dia: DiaMatrix, x, y=None):
-    """y := A*x + y (gather-free, streaming)."""
+    """y := A*x + y (gather-free, streaming). On TPU the resident-x Pallas
+    kernel (ops/dia_pallas.py) replaces the XLA shift-multiply, which
+    re-materializes full-length temporaries per diagonal."""
+    from ellspmv_tpu.ops import dia_pallas
+    if dia_pallas.supported(dia):
+        return dia_pallas.dia_spmv_pallas(dia, x, y)
     return _dia_spmv(jnp.asarray(dia.data), jnp.asarray(x),
                      None if y is None else jnp.asarray(y),
                      dia.offsets, dia.num_rows, dia.num_columns)

@@ -26,6 +26,7 @@ diagonal (ellgemvsd's `y[i] += ad[i]*x[i]`, ellspmv.c:1177).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -97,34 +98,63 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     vals = coo.values[order].astype(val_dt)
     rows = coo.rowidx[order].astype(np.int64)
 
-    # rowsize-1 ELL over the sorted entries: the product kernel
-    n_pad0 = max(_round_up(nnz, 8), 8)
+    # unified padded product length — a multiple of the permute BLOCK so
+    # the product plan, the static router and the sum level agree
+    from ellspmv_tpu.ops.permute import BLOCK, build_permute
+    from ellspmv_tpu.ops.stream_sum import _I32_SENTINEL
+    prod_len = max(_round_up(nnz, BLOCK), BLOCK)
+    dest = np.full(prod_len, -1, np.int64)
+    dest[:nnz] = rows
+    ddsum = build_stream_sum(dest, n_rows=n, cap=cap)
+
+    # replace the level-1 runtime key sort with a statically planned
+    # routing (ops/permute.py): every entry's sorted position (= rank of
+    # its key) is known at build time. Entries are re-ordered by
+    # (destination megablock, column) — a pure reorder, no padding — to
+    # bound the router's half-block budget while keeping the product
+    # kernel's per-128-entry column locality.
+    lvl1 = ddsum.levels[0]
+    if nnz and not os.environ.get("ELLSPMV_TPU_NO_PERMUTE"):
+        keys = np.asarray(lvl1.keys)
+        srt = np.argsort(keys, kind="stable")
+        pos = np.empty(prod_len, np.int64)
+        pos[srt] = np.arange(prod_len)
+        target = np.where(keys == _I32_SENTINEL, np.int64(-1), pos)
+        mega = target[:nnz] // (BLOCK * 128)
+        pre = np.lexsort((cols, mega))
+        target2 = np.concatenate([target[:nnz][pre], target[nnz:]])
+        try:
+            lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128)
+        except ValueError:
+            pass     # router budget exceeded: keep the sort path
+        else:
+            cols, vals = cols[pre], vals[pre]
+            lvl1.keys = np.concatenate([keys[:nnz][pre], keys[nnz:]])
+    ddsum = ddsum.device_put()
+
+    # rowsize-1 ELL over the (possibly re-ordered) entries: the product
+    # kernel
     pad_col = np.int32(cols[-1]) if nnz else np.int32(0)
-    pcol = np.full((n_pad0, 1), pad_col, np.int32)
-    pval = np.zeros((n_pad0, 1), val_dt)
+    pcol = np.full((prod_len, 1), pad_col, np.int32)
+    pval = np.zeros((prod_len, 1), val_dt)
     if nnz:
         pcol[:nnz, 0] = cols
         pval[:nnz, 0] = vals
     prod_ell = EllMatrix(colidx=pcol, values=pval, diag=None,
-                        num_rows=n_pad0, num_columns=m,
+                        num_rows=prod_len, num_columns=m,
                         num_nonzeros=nnz)
     plan = plan_mod.best_plan(prod_ell,
                               value_dtype=np.float64 if dd else np.float32)
     if plan is not None:
         dp = ell_pallas.DevicePlan(prod_ell, plan, dd)
-        prod_len = plan.n_pad
+        assert plan.n_pad == prod_len
         prod_cols = prod_vals = None
     else:
         dp = None
-        prod_len = max(_round_up(nnz, 1024), 1024)
         prod_cols = jnp.asarray(np.pad(cols, (0, prod_len - nnz)))
         pv = np.zeros(prod_len, val_dt)
         pv[:nnz] = vals
         prod_vals = jnp.asarray(pv)
-
-    dest = np.full(prod_len, -1, np.int64)
-    dest[:nnz] = rows
-    ddsum = build_stream_sum(dest, n_rows=n, cap=cap).device_put()
 
     if diag is not None:
         d = np.zeros(n, val_dt)

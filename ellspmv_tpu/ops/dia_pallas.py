@@ -1,0 +1,288 @@
+"""Pallas DIA kernel: gather-free stencil SpMV at HBM speed.
+
+DIA (formats/dia.py) stores a handful of constant diagonals; the SpMV is
+``y[i] += data[d, i] * x[i + off_d]`` — pure shifted streaming, no
+gathers. The XLA formulation left 4-5x on the table on TPU (round-1
+VERDICT: poisson DIA 162 GB/s vs ELL 667), because the shifted reads
+re-materialize full-length temporaries per diagonal. This kernel holds
+the whole x image resident in VMEM (one DMA at grid step 0 — the
+sector-cache intent, ellspmv.c:1737-1743), streams the diagonal values in
+(D*G, 128) tiles, and resolves each diagonal's shift with ONE static
+`pltpu.roll` + select per tile: the diagonal offsets are compile-time
+constants, so no dynamic gather exists anywhere.
+
+fp64 is double-double (f32 hi/lo pairs) like the ELL kernel; the accuracy
+contract is the same <=1e-13 worst-element bar (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ellspmv_tpu.ops import plan as plan_mod
+from ellspmv_tpu.ops.ell_pallas import (_dd_fma, _i0,
+                                        fma_contraction_available)
+
+_PLAN_ATTR = "_dia_device_plan"
+MAX_DIAGS = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
+                     rows0: tuple, dd: bool, fastdd: bool):
+    """Per tile: DMA nothing (x image resident from step 0); for each
+    diagonal d: read (G+1,128) at row i*G + rows0[d], roll lanes by the
+    static shift, select the straddle, FMA into the accumulator."""
+
+    lane_i = None
+
+    def kernel(*refs):
+        if dd:
+            vh_ref, vl_ref, xh_hbm, xl_hbm, yh_ref, yl_ref, xw, xwl, \
+                sem, seml = refs
+        else:
+            v_ref, x_hbm, y_ref, xw, sem = refs
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            if dd:
+                c1 = pltpu.make_async_copy(xh_hbm, xw, sem)
+                c2 = pltpu.make_async_copy(xl_hbm, xwl, seml)
+                c1.start()
+                c2.start()
+                c1.wait()
+                c2.wait()
+            else:
+                c = pltpu.make_async_copy(x_hbm, xw, sem)
+                c.start()
+                c.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+
+        def xslice(buf, d):
+            row0 = i * jnp.int32(G) + jnp.int32(rows0[d])
+            s = shifts[d]
+            if s == 0:
+                return buf[pl.ds(row0, G), :]
+            w = buf[pl.ds(row0, G + 1), :]
+            r = pltpu.roll(w, 128 - s, 1)
+            return jnp.where(lane < jnp.int32(128 - s), r[:G], r[1:G + 1])
+
+        if dd:
+            acc = jnp.zeros((G, 128), jnp.float32)
+            accl = jnp.zeros((G, 128), jnp.float32)
+            for d in range(D):
+                vh = vh_ref[0, d * G:(d + 1) * G]
+                vl = vl_ref[0, d * G:(d + 1) * G]
+                acc, accl = _dd_fma(acc, accl, vh, vl,
+                                    xslice(xw, d), xslice(xwl, d),
+                                    fast=fastdd)
+            yh_ref[0] = acc
+            yl_ref[0] = accl
+        else:
+            acc = jnp.zeros((G, 128), jnp.float32)
+            for d in range(D):
+                acc = acc + v_ref[0, d * G:(d + 1) * G] * xslice(xw, d)
+            y_ref[0] = acc
+
+    return kernel
+
+
+def _dia_specs(DG, G, n_x, n_out):
+    def im3(i):
+        return (i, _i0(), _i0())
+
+    in_specs = ([pl.BlockSpec((1, DG, 128), im3, memory_space=pltpu.VMEM)]
+                * (1 if n_x == 1 else 2)
+                + [pl.BlockSpec(memory_space=pl.ANY)] * n_x)
+    outs = [pl.BlockSpec((1, G, 128), im3, memory_space=pltpu.VMEM)
+            for _ in range(n_out)]
+    return in_specs, (outs if n_out > 1 else outs[0])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "D", "G", "T", "shifts", "rows0", "nx128", "fastdd", "interpret"))
+def _dia_run_dd(vh, vl, x2h, x2l, D, G, T, shifts, rows0, nx128,
+                fastdd=False, interpret=False):
+    in_specs, out_specs = _dia_specs(D * G, G, 2, 2)
+    return pl.pallas_call(
+        _make_dia_kernel(D, G, T, shifts, rows0, dd=True, fastdd=fastdd),
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((nx128, 128), jnp.float32),
+            pltpu.VMEM((nx128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
+        interpret=interpret,
+    )(vh, vl, x2h, x2l)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "D", "G", "T", "shifts", "rows0", "nx128", "interpret"))
+def _dia_run_f32(v, x2, D, G, T, shifts, rows0, nx128, interpret=False):
+    in_specs, out_specs = _dia_specs(D * G, G, 1, 1)
+    return pl.pallas_call(
+        _make_dia_kernel(D, G, T, shifts, rows0, dd=False, fastdd=False),
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((nx128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+        interpret=interpret,
+    )(v, x2)
+
+
+class DiaDevicePlan:
+    """Relayouted diagonal values on device + static kernel config.
+    Registered as a pytree so it rides through jit as an argument."""
+
+    def __init__(self, dia, dd: bool, _leaves=None, _cfg=None):
+        if _cfg is not None:
+            self.cfg = _cfg
+            self.vals = tuple(_leaves)
+            return
+        data = np.asarray(dia.data)
+        D, n = data.shape
+        n_rows = dia.num_rows
+        m = dia.num_columns
+        offs = dia.offsets
+        G = int(os.environ.get("ELLSPMV_TPU_DIA_G", "64"))
+        R = G * 128
+        while R // 2 >= max(_round_up(n_rows, 128), 128) and G > 1:
+            G //= 2
+            R = G * 128
+        n_pad = _round_up(n_rows, R)
+        T = n_pad // R
+        lead = _round_up(max(0, -min(offs)), 128)
+        need = max(n_pad + lead + max(max(offs), 0) + 128, lead + m)
+        nx128 = _round_up(-(-need // 128) + 1, 8)
+        interpret = (jax.devices()[0].platform != "tpu"
+                     or bool(os.environ.get(
+                         "ELLSPMV_TPU_PALLAS_INTERPRET")))
+        shifts = tuple((lead + o) % 128 for o in offs)
+        rows0 = tuple((lead + o) // 128 for o in offs)
+        pad = np.zeros((D, n_pad - n), data.dtype)
+        dat = np.concatenate([data, pad], axis=1) if n_pad > n else data
+        dat = dat.reshape(D, T, G, 128).transpose(1, 0, 2, 3).reshape(
+            T, D * G, 128)
+        if dd:
+            vh = dat.astype(np.float32)
+            vl = (dat - vh.astype(np.float64)).astype(np.float32)
+            self.vals = (jnp.asarray(vh), jnp.asarray(vl))
+        else:
+            self.vals = (jnp.asarray(dat.astype(np.float32)),)
+        fastdd = bool(dd and os.environ.get("ELLSPMV_TPU_FASTDD", "1")
+                      != "0" and fma_contraction_available())
+        self.cfg = dict(D=D, G=G, T=T, shifts=shifts, rows0=rows0,
+                        nx128=nx128, lead=lead, m=m, n=n_rows, dd=dd,
+                        fastdd=fastdd, interpret=interpret)
+
+    @property
+    def vmem_ok(self) -> bool:
+        c = self.cfg
+        x_bytes = c["nx128"] * 128 * 4 * (2 if c["dd"] else 1)
+        v_bytes = c["D"] * c["G"] * 128 * 4 * (2 if c["dd"] else 1) * 2
+        return (x_bytes + v_bytes + c["G"] * 128 * 16
+                <= plan_mod.VMEM_BUDGET_BYTES)
+
+    def __call__(self, x):
+        c = self.cfg
+        if c["dd"]:
+            x = jnp.asarray(x, jnp.float64)
+            xh = x.astype(jnp.float32)
+            xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+            yh, yl = self.apply_pair(xh, xl)
+            return yh.astype(jnp.float64) + yl.astype(jnp.float64)
+        c = self.cfg
+        x2 = jnp.pad(jnp.asarray(x, jnp.float32),
+                     (c["lead"], c["nx128"] * 128 - c["lead"] - x.shape[0])
+                     ).reshape(c["nx128"], 128)
+        y = _dia_run_f32(self.vals[0], x2, D=c["D"], G=c["G"], T=c["T"],
+                         shifts=c["shifts"], rows0=c["rows0"],
+                         nx128=c["nx128"], interpret=c["interpret"])
+        return y.reshape(-1)[:c["n"]]
+
+    def apply_pair(self, xh, xl):
+        c = self.cfg
+        pad = (c["lead"], c["nx128"] * 128 - c["lead"] - xh.shape[0])
+        yh, yl = _dia_run_dd(
+            self.vals[0], self.vals[1],
+            jnp.pad(xh, pad).reshape(c["nx128"], 128),
+            jnp.pad(xl, pad).reshape(c["nx128"], 128),
+            D=c["D"], G=c["G"], T=c["T"], shifts=c["shifts"],
+            rows0=c["rows0"], nx128=c["nx128"], fastdd=c["fastdd"],
+            interpret=c["interpret"])
+        n = c["n"]
+        return yh.reshape(-1)[:n], yl.reshape(-1)[:n]
+
+
+def _ddp_flatten(dp):
+    return dp.vals, tuple(sorted(dp.cfg.items()))
+
+
+def _ddp_unflatten(cfg, leaves):
+    return DiaDevicePlan(None, None, _leaves=leaves, _cfg=dict(cfg))
+
+
+jax.tree_util.register_pytree_node(DiaDevicePlan, _ddp_flatten,
+                                   _ddp_unflatten)
+
+
+def get_plan(dia):
+    """Build (and cache on the DiaMatrix) the device plan, or None."""
+    if isinstance(dia.data, jax.core.Tracer):
+        return None
+    cached = getattr(dia, _PLAN_ATTR, None)
+    if cached is not None:
+        return cached if cached != "unsupported" else None
+    val_dt = np.dtype(np.asarray(dia.data).dtype)
+    if (val_dt not in (np.dtype(np.float32), np.dtype(np.float64))
+            or dia.num_diags == 0 or dia.num_diags > MAX_DIAGS):
+        object.__setattr__(dia, _PLAN_ATTR, "unsupported")
+        return None
+    dp = DiaDevicePlan(dia, dd=val_dt == np.dtype(np.float64))
+    if not dp.vmem_ok:
+        object.__setattr__(dia, _PLAN_ATTR, "unsupported")
+        return None
+    object.__setattr__(dia, _PLAN_ATTR, dp)
+    return dp
+
+
+def supported(dia) -> bool:
+    if isinstance(dia.data, jax.core.Tracer):
+        return False
+    if jax.devices()[0].platform != "tpu" and not os.environ.get(
+            "ELLSPMV_TPU_PALLAS_INTERPRET"):
+        return False
+    return get_plan(dia) is not None
+
+
+def dia_spmv_pallas(dia, x, y=None):
+    """y := A*x + y via the resident-x shifted-stream kernel."""
+    dp = get_plan(dia)
+    if dp is None:
+        raise ValueError("matrix unsupported by the pallas DIA kernel")
+    val_dt = np.asarray(dia.data).dtype
+    out = dp(jnp.asarray(x)).astype(val_dt)
+    if y is not None:
+        out = out + jnp.asarray(y).astype(val_dt)
+    return out

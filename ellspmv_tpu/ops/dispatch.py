@@ -186,6 +186,20 @@ def traceable_spmv(matrix, backend: str = "auto"):
                 return out
 
             return (op, diag), fn
+    if isinstance(matrix, DiaMatrix):
+        from ellspmv_tpu.ops import dia_pallas
+        dp = (dia_pallas.get_plan(matrix)
+              if dia_pallas.supported(matrix) else None)
+        if dp is not None:
+            val_dt = jnp.asarray(matrix.data).dtype
+
+            def fn_dia(op, x, y=None):
+                out = op(x).astype(val_dt)
+                if y is not None:
+                    out = out + y.astype(val_dt)
+                return out
+
+            return dp, fn_dia
     # XLA paths: the matrix containers are pytrees already
     if isinstance(matrix, (EllMatrix, CsrMatrix, DiaMatrix)):
         return matrix, lambda m, x, y=None: spmv(m, x, y, backend="xla")

@@ -1,30 +1,38 @@
 """Static stream permutation: sort-free reordering when every element's
 destination is known at plan time.
 
-The stream SpMV path (formats/stream.py) needs its product stream reordered
-from column order into row-tile order. Round 1 did this with a runtime
-`lax.sort` over precomputed keys — paying O(n log^2 n) bitonic work for a
-permutation that is fully known at build time (the reference's analogous
+The stream SpMV path (formats/stream.py) needs its product stream
+reordered from column order into row-tile order. Round 1 did this with a
+runtime `lax.sort` over precomputed keys — O(n log^2 n) bitonic work for a
+permutation fully known at build time (the reference's analogous
 random-access inner loop is csrspmv.c:1590-1592, which a CPU just eats).
-This module routes the stream instead with two dense passes:
+This module routes the stream with dense passes built ONLY from
+Mosaic-supported primitives (lane gathers at any operand height and
+(128,128) transposes — there is no sublane gather on TPU):
 
-1. **take** — the input is grouped at build time into 128-element granules
-   that are *pure* per output supertile (a supertile = `sup_rows`x128
-   elements routed together in VMEM). One XLA row-gather (`jnp.take` on a
-   (rows,128) view) moves whole granules to their supertile; row-granular
-   static gathers run at ~HBM speed on v5e (BENCH_NOTES).
-2. **route** — a Pallas kernel permutes each supertile in VMEM with three
-   chained gathers: lane-gather, sublane-gather, lane-gather (a 3-stage
-   Clos network: rows are the switches, lanes the middle stage). The
-   middle-stage "color" of every element comes from a Koenig/Euler-split
-   bipartite edge coloring computed on the host at build time — degrees
-   are <=128, so 128 colors (= lanes) always suffice.
+1. **W1 kernel** — per (128,128) input block: one lane gather assigns
+   every element its *color* lane, then a transpose + per-half lane
+   gathers + transposes regroup the block's elements into rows that are
+   pure per destination block (row content chosen at build; an input
+   block's elements spill into up to `HA` half-blocks, absorbing the
+   ceil-rounding without any padding of the stream itself).
+2. **take** — one XLA row gather (`jnp.take` on the (rows,128) view)
+   moves the pure rows to their destination block; row-granular static
+   gathers run near HBM speed on v5e (BENCH_NOTES).
+3. **W2 kernel** — per destination block: lane-recolor the `HB` arriving
+   half-blocks, transpose, select-gather across halves (the sublane
+   stage), transpose back, and a final lane gather lands every element on
+   its exact output position.
 
-Granule purity needs freedom to reorder the input within blocks (the
-product kernel's row tiles: entries within a tile may be stored in any
-order, SURVEY hot-loop 1). `build_permute(free_block=B)` therefore emits a
-`pre` map the caller applies to its stored arrays at build time; pure-pad
-slots inserted for granule rounding carry `pre == -1`.
+The color lanes come from two Koenig/Euler-split bipartite edge colorings
+computed on the host at build time (degrees are <=128, so 128 colors = the
+lane width always suffice): coloring 1 over (input row, mid row), coloring
+2 over (mid slot row, output row). Constraint on the caller: each input
+block may touch at most `128*(HA-1)` distinct destination blocks and each
+destination block may receive from at most `128*(HB-1)` input blocks —
+the stream builder guarantees this by ordering entries by
+(destination megablock, column), which costs nothing (no padding) and
+keeps the product kernel's column locality.
 """
 
 from __future__ import annotations
@@ -40,24 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ellspmv_tpu.ops.ell_pallas import _i0, _lane_gather
 
-__all__ = ["PermutePlan", "build_permute", "apply_permute"]
+__all__ = ["PermutePlan", "build_permute", "apply_permute", "BLOCK"]
+
+BLOCK = 128 * 128              # elements per routed block
+MAX_HALVES = 4
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _sub_gather(op, ridx):
-    """out[r, l] = op[ridx[r, l], l] — the sublane dual of `_lane_gather`,
-    emitted directly as lax.gather with int32 indices (Mosaic has no
-    64-bit types)."""
-    g = ridx[..., None]
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
-        operand_batching_dims=(1,), start_indices_batching_dims=(1,))
-    return jax.lax.gather(
-        op, g, dnums, slice_sizes=(1, 1), indices_are_sorted=False,
-        unique_indices=False, mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
 # --------------------------------------------------------------------------
@@ -66,38 +64,36 @@ def _sub_gather(op, ridx):
 
 def _bipartition_components(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
     """2-color the path/even-cycle graph whose vertices are edge ids and
-    whose adjacency is the two partner arrays (-1 = none). Vectorized
-    label propagation + pointer doubling; returns parity in {0,1}."""
+    whose adjacency is the two partner arrays (-1 = none). Exact
+    sequential walk (paths are rewound to an endpoint first; cycles
+    alternate sides so they are even). The native C++ walker
+    (native/color.cc) is the fast path for large inputs; this fallback is
+    O(E) python."""
     E = len(pa)
-    lab = np.arange(E, dtype=np.int64)
     par = np.zeros(E, dtype=np.int8)
-    if E == 0:
-        return par
-    # relax moves the component minimum one graph hop per round while
-    # pointer doubling compresses adopted-label chains; the hybrid needs
-    # up to ~O(log^2) rounds, so iterate to the true fixed point
-    max_rounds = 4 * int(np.ceil(np.log2(max(E, 2)))) ** 2 + 64
-    for _ in range(max_rounds):
-        changed = False
-        for nbr in (pa, pb):
-            valid = nbr >= 0
-            idx = np.where(valid, nbr, 0)
-            nl = np.where(valid, lab[idx], E)
-            np_ = np.where(valid, par[idx] ^ 1, 0).astype(np.int8)
-            better = nl < lab
-            if better.any():
-                changed = True
-                lab = np.where(better, nl, lab)
-                par = np.where(better, np_, par).astype(np.int8)
-        nl = lab[lab]
-        np_ = (par ^ par[lab]).astype(np.int8)
-        if not (nl == lab).all():
-            changed = True
-        lab, par = nl, np_
-        if not changed:
-            break
-    else:
-        raise RuntimeError("bipartition did not converge")
+    seen = np.zeros(E, dtype=bool)
+    for s in range(E):
+        if seen[s]:
+            continue
+        # rewind to an endpoint, alternating sides (or stop on cycle)
+        e, via_a = s, True
+        while True:
+            p = pa[e] if via_a else pb[e]
+            if p < 0 or p == s:
+                break
+            e, via_a = p, not via_a
+        # forward walk from the endpoint through the other side
+        fwd_a = not via_a
+        cur, parity = e, 0
+        while True:
+            seen[cur] = True
+            par[cur] = parity
+            parity ^= 1
+            nxt = pa[cur] if fwd_a else pb[cur]
+            fwd_a = not fwd_a
+            if nxt < 0 or seen[nxt]:
+                break
+            cur = nxt
     return par
 
 
@@ -107,7 +103,6 @@ def _pair_within(groups: np.ndarray) -> np.ndarray:
     E = len(groups)
     order = np.argsort(groups, kind="stable")
     g = groups[order]
-    # local rank within group
     start = np.concatenate([[True], g[1:] != g[:-1]])
     idx = np.arange(E)
     grp_start = np.maximum.accumulate(np.where(start, idx, 0))
@@ -134,16 +129,15 @@ def _edge_color_numpy(src: np.ndarray, dst: np.ndarray,
     degrees. Vectorized numpy (the native C++ walker is the fast path for
     large inputs)."""
     E = len(src)
-    colors = np.zeros(E, np.int64)
     if E == 0:
-        return colors
+        return np.zeros(0, np.int64)
     levels = int(np.ceil(np.log2(max(max_colors, 2))))
     cls = np.zeros(E, np.int64)
-    for lev in range(levels):
-        # pair within (class, node) on both sides; class keys keep the
-        # recursion's subsets independent in one vectorized pass
-        pa = _pair_within(cls * (src.max() + 1) + src)
-        pb = _pair_within(cls * (dst.max() + 1) + dst)
+    smax = src.max() + 1
+    dmax = dst.max() + 1
+    for _ in range(levels):
+        pa = _pair_within(cls * smax + src)
+        pb = _pair_within(cls * dmax + dst)
         half = _bipartition_components(pa, pb)
         cls = cls * 2 + half
     return cls
@@ -152,7 +146,7 @@ def _edge_color_numpy(src: np.ndarray, dst: np.ndarray,
 def _edge_color(src: np.ndarray, dst: np.ndarray,
                 max_colors: int = 128) -> np.ndarray:
     from ellspmv_tpu.io import native
-    if len(src) >= 200_000 and native.available():
+    if len(src) >= 20_000 and native.available():
         try:
             return native.edge_color(src, dst, max_colors)
         except Exception:
@@ -167,17 +161,17 @@ def _edge_color(src: np.ndarray, dst: np.ndarray,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PermutePlan:
-    """Static routing of an input stream onto output positions.
-
-    Apply order: `take` (XLA row gather by `gsrc`) then `route` (Pallas
-    3-gather Clos pass per supertile)."""
-    gsrc: jax.Array | np.ndarray    # (T*H_in,) i32 source row per granule
-    l1: jax.Array | np.ndarray      # (T*H_in, 128) i8 stage-1 lane map
-    r2: jax.Array | np.ndarray      # (T*H, 128) i16/i32 stage-2 row map
-    l3: jax.Array | np.ndarray      # (T*H, 128) i8 stage-3 lane map
-    H_in: int = dataclasses.field(metadata=dict(static=True))
-    H: int = dataclasses.field(metadata=dict(static=True))
-    T: int = dataclasses.field(metadata=dict(static=True))
+    """Static routing of an input stream onto output positions."""
+    l1: jax.Array | np.ndarray    # (NBi, 128, 128) i8 W1 color lane map
+    q1: jax.Array | np.ndarray    # (NBi, HA, 128, 128) i8 W1 row map (T)
+    gsrc: jax.Array | np.ndarray  # (NBo*HB*128,) i32 source mid row
+    l1b: jax.Array | np.ndarray   # (NBo, HB, 128, 128) i8 W2 recolor map
+    q2: jax.Array | np.ndarray    # (NBo, 128, 128) i16 W2 slot map (T)
+    l3: jax.Array | np.ndarray    # (NBo, 128, 128) i8 W2 final lane map
+    NBi: int = dataclasses.field(metadata=dict(static=True))
+    NBo: int = dataclasses.field(metadata=dict(static=True))
+    HA: int = dataclasses.field(metadata=dict(static=True))
+    HB: int = dataclasses.field(metadata=dict(static=True))
     n_in: int = dataclasses.field(metadata=dict(static=True))   # padded
     n_out: int = dataclasses.field(metadata=dict(static=True))  # padded
 
@@ -185,160 +179,251 @@ class PermutePlan:
         return jax.tree_util.tree_map(jnp.asarray, self)
 
 
-@dataclasses.dataclass
-class PermuteBuild:
-    plan: PermutePlan
-    pre: np.ndarray                 # (n_in,) original index or -1 (pad)
-
-
-def build_permute(target: np.ndarray, n_out: int, free_block: int,
-                  sup_rows: int = 2048) -> PermuteBuild:
+def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
     """Plan the permutation `out[target[k]] = in[k]` (target -1 = dropped).
 
-    Real targets must be distinct positions in [0, n_out). `free_block`
-    declares that the caller can reorder its stored input within blocks of
-    that many elements (and absorb inserted pad slots); the returned `pre`
-    maps new input positions to original indices (-1 = pad). Output
-    positions not covered by any input hold unspecified values — consumers
-    must mask, as the stream-sum kernels already do via run counts."""
-    target = np.asarray(target, np.int64)
-    if free_block % 128:
-        raise ValueError("free_block must be a multiple of 128")
-    if sup_rows % 32:
-        raise ValueError("sup_rows must be a multiple of 32")
-    C = sup_rows * 128
-    H = sup_rows
-    T = max(_round_up(n_out, C) // C, 1)
-    n_out_pad = T * C
+    Real targets must be distinct positions in [0, n_out). Output
+    positions not covered by any input hold unspecified values —
+    consumers must mask, as the stream-sum kernels do via run counts.
 
-    real = np.flatnonzero(target >= 0)
-    tr = target[real]
+    Raises ValueError when an input block touches too many destination
+    blocks (or vice versa) for the half-block budget; callers avoid this
+    by pre-ordering the input by destination megablock (a pure reorder —
+    see formats/stream.py)."""
+    target = np.asarray(target, np.int64)
+    n_in = _round_up(max(len(target), 1), BLOCK)
+    NBi = n_in // BLOCK
+    n_out_pad = _round_up(max(n_out, 1), BLOCK)
+    NBo = n_out_pad // BLOCK
+
+    k = np.flatnonzero(target >= 0)
+    tr = target[k]
     if len(tr) and (tr.max() >= n_out or len(np.unique(tr)) != len(tr)):
         raise ValueError("targets must be distinct positions in [0, n_out)")
-    u = tr // C                                   # supertile per element
+    if len(tr) == 0:
+        return PermutePlan(
+            l1=np.zeros((NBi, 128, 128), np.int8),
+            q1=np.zeros((NBi, 1, 128, 128), np.int8),
+            gsrc=np.zeros(NBo * 128, np.int32),
+            l1b=np.zeros((NBo, 1, 128, 128), np.int8),
+            q2=np.zeros((NBo, 128, 128), np.int16),
+            l3=np.zeros((NBo, 128, 128), np.int8),
+            NBi=NBi, NBo=NBo, HA=1, HB=1, n_in=n_in, n_out=n_out_pad)
 
-    # --- pre-order: group by supertile within each free block, pad each
-    # (block, supertile) run to whole 128-granules
-    blk = real // free_block
-    order = np.lexsort((tr, u, blk))              # by block, then supertile
-    rb, ru = blk[order], u[order]
-    # run starts of (block, supertile) groups
-    new_grp = np.concatenate([[True], (rb[1:] != rb[:-1])
-                              | (ru[1:] != ru[:-1])])
+    b = k // BLOCK                    # input block
+    r1 = (k % BLOCK) // 128           # input row within block
+    l1v = k % 128                     # input lane
+    d = tr // BLOCK                   # destination block
+    r2 = (tr % BLOCK) // 128          # dest row within block
+    l2 = tr % 128                     # dest lane
+
+    # --- mid rows: group elements by (input block, dest block); each
+    # group takes ceil(n/128) whole mid rows inside its input block's
+    # half-block span
+    order = np.lexsort((tr, d, b))
+    ob, od = b[order], d[order]
+    new_grp = np.concatenate([[True], (ob[1:] != ob[:-1])
+                              | (od[1:] != od[:-1])])
     grp_id = np.cumsum(new_grp) - 1
     grp_sizes = np.bincount(grp_id)
-    grp_u = ru[new_grp]
-    grp_gran = -(-grp_sizes // 128)               # granules per group
-    gran_of_grp = np.concatenate([[0], np.cumsum(grp_gran)])
-    NG = int(gran_of_grp[-1])
-    n_in_pad = NG * 128
+    n_grp = len(grp_sizes)
+    grp_b = ob[new_grp]
+    grp_d = od[new_grp]
+    grp_rows = -(-grp_sizes // 128)
+    # row offset of each group within its input block
+    rows_per_b = np.bincount(grp_b, weights=grp_rows,
+                             minlength=NBi).astype(np.int64)
+    HA = int(-(-max(rows_per_b.max(), 1) // 128))
+    if HA > MAX_HALVES:
+        raise ValueError(
+            f"input blocks touch too many destination blocks "
+            f"(need {HA} half-blocks; pre-order the input by destination "
+            "megablock)")
+    grp_row_off = np.concatenate([[0], np.cumsum(grp_rows)])[:-1]
+    b_row_base = np.concatenate(
+        [[0], np.cumsum(np.bincount(grp_b, weights=grp_rows,
+                                    minlength=NBi))])[:-1].astype(np.int64)
+    grp_row_off = grp_row_off - b_row_base[grp_b]   # within block
 
-    # position of each (ordered) element in the padded input stream
     within = np.arange(len(order)) - np.concatenate(
         [[0], np.cumsum(grp_sizes)])[:-1][grp_id]
-    pos = gran_of_grp[grp_id] * 128 + within
-    pre = np.full(n_in_pad, -1, np.int64)
-    pre[pos] = real[order]
+    # mid coordinates (in sorted order): row within the HA half-blocks
+    mid_rloc = grp_row_off[grp_id] + within // 128
+    mid_row = grp_b[grp_id] * (HA * 128) + mid_rloc
 
-    # granule -> supertile
-    gran_u = np.repeat(grp_u, grp_gran)
+    # --- coloring 1: distinct colors within each input row and mid row
+    src1 = ob * 128 + r1[order]
+    col1 = _edge_color(src1, mid_row, 128)
 
-    # --- take stage: each supertile's granules, padded to a common H_in
-    g_per_u = np.bincount(gran_u, minlength=T)
-    H_in = max(int(_round_up(max(g_per_u.max(), 1), 32)), 32)
-    gsrc = np.zeros((T, H_in), np.int64)          # pad rows read row 0
-    gran_slot = np.zeros(NG, np.int64)            # row within supertile
-    gorder = np.argsort(gran_u, kind="stable")
-    slot_in_u = np.arange(NG) - np.concatenate(
-        [[0], np.cumsum(g_per_u)])[:-1][gran_u[gorder]]
-    gran_slot[gorder] = slot_in_u
-    gsrc[gran_u[gorder], slot_in_u] = gorder
+    l1 = np.zeros((NBi, 128, 128), np.int8)
+    q1 = np.zeros((NBi, HA, 128, 128), np.int8)
+    l1[ob, r1[order], col1] = l1v[order].astype(np.int8)
+    q1[ob, mid_rloc // 128, col1, mid_rloc % 128] = \
+        r1[order].astype(np.int8)
+
+    # --- take: destination block d's input = its groups' mid rows,
+    # ordered by input block
+    dorder = np.lexsort((grp_b, grp_d))
+    gd = grp_d[dorder]
+    rows_per_d = np.bincount(gd, weights=grp_rows[dorder],
+                             minlength=NBo).astype(np.int64)
+    HB = int(-(-max(rows_per_d.max(), 1) // 128))
+    if HB > MAX_HALVES:
+        raise ValueError(
+            f"destination blocks receive from too many input blocks "
+            f"(need {HB} half-blocks)")
+    d_row_base = np.concatenate(
+        [[0], np.cumsum(rows_per_d)])[:-1].astype(np.int64)
+    slot_off = np.concatenate(
+        [[0], np.cumsum(grp_rows[dorder])])[:-1] - d_row_base[gd]
+    grp_slot = np.empty(n_grp, np.int64)          # group -> first slot
+    grp_slot[dorder] = slot_off
+
+    gsrc = np.zeros((NBo, HB * 128), np.int64)
+    # per-group rows: slot j of group g (j < grp_rows[g]) maps mid row j
+    g_rows = np.repeat(np.arange(n_grp), grp_rows)
+    j_in_g = np.arange(len(g_rows)) - np.repeat(
+        np.concatenate([[0], np.cumsum(grp_rows)])[:-1], grp_rows)
+    gsrc[grp_d[g_rows], grp_slot[g_rows] + j_in_g] = (
+        grp_b[g_rows] * (HA * 128) + grp_row_off[g_rows] + j_in_g)
     gsrc = gsrc.reshape(-1)
 
-    # --- route stage: per-element coordinates after take
-    e_u = ru                                      # sorted-order view
-    e_rs = gran_slot[gran_of_grp[grp_id] + within // 128]
-    e_ls = within % 128
-    t_local = tr[order] - e_u * C
-    e_rd = t_local // 128
-    e_ld = t_local % 128
+    # element slot row in the W2 input
+    slot = grp_slot[grp_id] + within // 128
 
-    # Koenig coloring: distinct colors within each source row (granule)
-    # and each dest row; node ids offset per supertile so one call colors
-    # every supertile's independent graph
-    col = _edge_color(e_u * H_in + e_rs, e_u * H + e_rd, 128)
+    # --- coloring 2: distinct colors within each slot row and output row
+    src2 = od * (HB * 128) + slot
+    dst2 = od * 128 + r2[order]
+    col2 = _edge_color(src2, dst2, 128)
 
-    l1 = np.zeros((T * H_in, 128), np.int8)
-    r2 = np.zeros((T * H, 128), np.int32)
-    l3 = np.zeros((T * H, 128), np.int8)
-    l1[e_u * H_in + e_rs, col] = e_ls
-    r2[e_u * H + e_rd, col] = e_rs
-    l3[e_u * H + e_rd, e_ld] = col
-    r2_dt = np.int16 if H_in <= np.iinfo(np.int16).max else np.int32
-    plan = PermutePlan(gsrc=gsrc.astype(np.int32), l1=l1,
-                       r2=r2.astype(r2_dt), l3=l3,
-                       H_in=H_in, H=H, T=T,
-                       n_in=n_in_pad, n_out=n_out_pad)
-    return PermuteBuild(plan=plan, pre=pre)
+    l1b = np.zeros((NBo, HB, 128, 128), np.int8)
+    q2 = np.zeros((NBo, 128, 128), np.int16)
+    l3 = np.zeros((NBo, 128, 128), np.int8)
+    l1b[od, slot // 128, slot % 128, col2] = col1.astype(np.int8)
+    q2[od, col2, r2[order]] = slot.astype(np.int16)
+    l3[od, r2[order], l2[order]] = col2.astype(np.int8)
+
+    return PermutePlan(
+        l1=l1, q1=q1, gsrc=gsrc.astype(np.int32), l1b=l1b, q2=q2, l3=l3,
+        NBi=NBi, NBo=NBo, HA=HA, HB=HB, n_in=n_in, n_out=n_out_pad)
 
 
 # --------------------------------------------------------------------------
-# Device: take + route
+# Device kernels
 # --------------------------------------------------------------------------
 
-def _make_route_kernel(n_payload: int):
+def _make_w1_kernel(HA: int, n_payload: int):
     def kernel(*refs):
-        l1_ref, r2_ref, l3_ref = refs[:3]
+        l1_ref, q1_ref = refs[:2]
+        ins = refs[2:2 + n_payload]
+        outs = refs[2 + n_payload:]
+        l1 = l1_ref[0].astype(jnp.int32)
+        for i in range(n_payload):
+            w = _lane_gather(ins[i][0], l1)    # color lanes
+            wt = w.T
+            for h in range(HA):
+                q = q1_ref[0, h].astype(jnp.int32)
+                outs[i][0, h] = _lane_gather(wt, q).T
+    return kernel
+
+
+def _make_w2_kernel(HB: int, n_payload: int):
+    def kernel(*refs):
+        l1b_ref, q2_ref, l3_ref = refs[:3]
         ins = refs[3:3 + n_payload]
         outs = refs[3 + n_payload:]
-        l1 = l1_ref[0].astype(jnp.int32)
-        r2 = r2_ref[0].astype(jnp.int32)
+        q2 = q2_ref[0].astype(jnp.int32)
         l3 = l3_ref[0].astype(jnp.int32)
+        qlo = jax.lax.bitwise_and(q2, jnp.int32(127))
+        qhi = jax.lax.shift_right_logical(q2, jnp.int32(7))
         for i in range(n_payload):
-            v = _lane_gather(ins[i][0], l1)
-            v = _sub_gather(v, r2)
-            outs[i][0] = _lane_gather(v, l3)
+            zt = None
+            for h in range(HB):
+                lh = l1b_ref[0, h].astype(jnp.int32)
+                wt = _lane_gather(ins[i][0, h], lh).T
+                cand = _lane_gather(wt, qlo)
+                zt = cand if zt is None else jnp.where(
+                    qhi == jnp.int32(h), cand, zt)
+            outs[i][0] = _lane_gather(zt.T, l3)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("H_in", "H", "T", "interpret"))
-def _route(l1, r2, l3, *payloads, H_in, H, T, interpret=False):
-    n = len(payloads)
-
-    def im(i):
+                   static_argnames=("HA", "NBi", "n", "interpret"))
+def _w1(l1, q1, *payloads, HA, NBi, n, interpret=False):
+    def im2(i):
         return (i, _i0(), _i0())
 
-    in_specs = ([pl.BlockSpec((1, H_in, 128), im, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, H, 128), im, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, H, 128), im, memory_space=pltpu.VMEM)]
-                + [pl.BlockSpec((1, H_in, 128), im,
+    def im3(i):
+        return (i, _i0(), _i0(), _i0())
+
+    in_specs = ([pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, HA, 128, 128), im3,
+                              memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, 128, 128), im2,
                                 memory_space=pltpu.VMEM)] * n)
-    out_specs = [pl.BlockSpec((1, H, 128), im, memory_space=pltpu.VMEM)
-                 for _ in range(n)]
+    out_specs = [pl.BlockSpec((1, HA, 128, 128), im3,
+                              memory_space=pltpu.VMEM) for _ in range(n)]
     outs = pl.pallas_call(
-        _make_route_kernel(n),
-        grid=(T,),
+        _make_w1_kernel(HA, n),
+        grid=(NBi,),
         in_specs=in_specs,
         out_specs=out_specs if n > 1 else out_specs[0],
-        out_shape=([jax.ShapeDtypeStruct((T, H, 128), jnp.float32)
+        out_shape=([jax.ShapeDtypeStruct((NBi, HA, 128, 128), jnp.float32)
                     for _ in range(n)] if n > 1 else
-                   jax.ShapeDtypeStruct((T, H, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((NBi, HA, 128, 128), jnp.float32)),
         interpret=interpret,
-    )(l1.reshape(T, H_in, 128), r2.reshape(T, H, 128),
-      l3.reshape(T, H, 128), *[p.reshape(T, H_in, 128) for p in payloads])
+    )(l1, q1, *payloads)
+    return outs if n > 1 else [outs]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("HB", "NBo", "n", "interpret"))
+def _w2(l1b, q2, l3, *payloads, HB, NBo, n, interpret=False):
+    def im2(i):
+        return (i, _i0(), _i0())
+
+    def im3(i):
+        return (i, _i0(), _i0(), _i0())
+
+    in_specs = ([pl.BlockSpec((1, HB, 128, 128), im3,
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, HB, 128, 128), im3,
+                                memory_space=pltpu.VMEM)] * n)
+    out_specs = [pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)
+                 for _ in range(n)]
+    outs = pl.pallas_call(
+        _make_w2_kernel(HB, n),
+        grid=(NBo,),
+        in_specs=in_specs,
+        out_specs=out_specs if n > 1 else out_specs[0],
+        out_shape=([jax.ShapeDtypeStruct((NBo, 128, 128), jnp.float32)
+                    for _ in range(n)] if n > 1 else
+                   jax.ShapeDtypeStruct((NBo, 128, 128), jnp.float32)),
+        interpret=interpret,
+    )(l1b, q2, l3, *payloads)
     return outs if n > 1 else [outs]
 
 
 def apply_permute(plan: PermutePlan, *payloads, interpret: bool = False):
     """Apply the planned permutation to equal-length f32 payload arrays
-    (already in `pre` order, length plan.n_in). Returns arrays of length
-    plan.n_out; positions no input mapped to are unspecified."""
+    (length <= plan.n_in). Returns arrays of length plan.n_out; positions
+    no input mapped to are unspecified."""
+    ins = []
+    for p in payloads:
+        p = jnp.asarray(p)
+        p = jnp.pad(p, (0, plan.n_in - p.shape[0]))
+        ins.append(p.reshape(plan.NBi, 128, 128))
+    mids = _w1(jnp.asarray(plan.l1), jnp.asarray(plan.q1), *ins,
+               HA=plan.HA, NBi=plan.NBi, n=len(ins), interpret=interpret)
     gsrc = jnp.asarray(plan.gsrc)
-    taken = [jnp.take(jnp.asarray(p).reshape(plan.n_in // 128, 128),
-                      gsrc, axis=0)
-             for p in payloads]
-    outs = _route(jnp.asarray(plan.l1), jnp.asarray(plan.r2),
-                  jnp.asarray(plan.l3), *taken,
-                  H_in=plan.H_in, H=plan.H, T=plan.T, interpret=interpret)
+    taken = [jnp.take(m.reshape(plan.NBi * plan.HA * 128, 128), gsrc,
+                      axis=0).reshape(plan.NBo, plan.HB, 128, 128)
+             for m in mids]
+    outs = _w2(jnp.asarray(plan.l1b), jnp.asarray(plan.q2),
+               jnp.asarray(plan.l3), *taken,
+               HB=plan.HB, NBo=plan.NBo, n=len(taken),
+               interpret=interpret)
     return [o.reshape(-1) for o in outs]

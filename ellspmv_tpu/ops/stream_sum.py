@@ -235,6 +235,9 @@ class SumLevel:
     # next level consumes exactly that slice (a free static slice — no
     # n-sized sort for rows already completed at this level)
     multi_len: int = dataclasses.field(metadata=dict(static=True))
+    # statically-planned routing replacing the runtime key sort
+    # (ops/permute.py); None = sort by `keys` at runtime
+    perm: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -547,12 +550,25 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
     dd = vl is not None
     parts_h, parts_l = [], []
     for lv in plan.levels:
-        keys = jnp.asarray(lv.keys)
-        if dd:
-            _, vh, vl = jax.lax.sort((keys, vh, vl), num_keys=1,
-                                     is_stable=False)
+        if lv.perm is not None:
+            # statically routed: no runtime comparator network at all
+            from ellspmv_tpu.ops.permute import apply_permute
+            if dd:
+                vh, vl = apply_permute(lv.perm, vh, vl,
+                                       interpret=interpret)
+            else:
+                (vh,) = apply_permute(lv.perm, vh, interpret=interpret)
+            vh = vh[:lv.in_rows * 128]
+            if dd:
+                vl = vl[:lv.in_rows * 128]
         else:
-            _, vh = jax.lax.sort((keys, vh), num_keys=1, is_stable=False)
+            keys = jnp.asarray(lv.keys)
+            if dd:
+                _, vh, vl = jax.lax.sort((keys, vh, vl), num_keys=1,
+                                         is_stable=False)
+            else:
+                _, vh = jax.lax.sort((keys, vh), num_keys=1,
+                                     is_stable=False)
         pad = lv.in_rows * 128 - vh.shape[0]
         sh = jnp.pad(vh, (0, pad)).reshape(lv.in_rows, 128)
         if dd:

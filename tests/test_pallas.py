@@ -250,3 +250,57 @@ def test_get_plan_picks_scan_plan_for_random(rng):
     assert dp is not None
     # widened column bucketing should have produced a wider slot space
     assert dp.cfg.S > ell.rowsize
+
+
+def test_dia_pallas_matches_oracle(rng, monkeypatch):
+    """Resident-x shifted-stream DIA kernel (ops/dia_pallas.py) vs the
+    dense oracle, fp64 and f32, incl. lane-straddling offsets."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.models.generators import poisson2d
+    from ellspmv_tpu.ops import dia_pallas
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    coo = poisson2d(20)     # offsets {-20,-1,0,1,20}: straddles + aligned
+    n = coo.num_rows
+    for dt, rtol in ((np.float64, 5e-6), (np.float32, 5e-6)):
+        dia = dia_from_coo(coo, value_dtype=dt)
+        assert dia is not None
+        dia = dia.device_put()
+        assert dia_pallas.supported(dia)
+        x = rng.rand(n)
+        y0 = rng.randn(n)
+        got = np.asarray(dia_pallas.dia_spmv_pallas(dia, x, y0),
+                         np.float64)
+        want = coo_spmv_numpy(coo, x, y0)
+        scale = max(np.max(np.abs(want)), 1.0)
+        np.testing.assert_allclose(got, want, rtol=rtol,
+                                   atol=rtol * scale)
+
+
+def test_dia_pallas_offsets_beyond_128(rng, monkeypatch):
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.ops import dia_pallas
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    n = 700
+    offs = [-300, -129, -7, 0, 5, 127, 128, 301]
+    rows_l, cols_l = [], []
+    for o in offs:
+        r = np.arange(max(0, -o), min(n, n - o), dtype=np.int64)
+        rows_l.append(r)
+        cols_l.append(r + o)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = rng.randn(len(rows))
+    coo = CooMatrix(n, n, rows.astype(np.int32), cols.astype(np.int32),
+                    vals)
+    dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
+    assert dia_pallas.supported(dia)
+    x = rng.rand(n)
+    got = np.asarray(dia_pallas.dia_spmv_pallas(dia, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(got, want, rtol=5e-6, atol=5e-6 * scale)

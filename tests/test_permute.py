@@ -1,6 +1,6 @@
-"""Static-permutation engine (ops/permute.py): host Clos routing planner
-(take granules + Koenig-colored 3-gather route kernel) vs a plain numpy
-permutation oracle. Kernels run in Pallas interpret mode on CPU."""
+"""Static-permutation engine (ops/permute.py): host Koenig-colored block
+routing (W1 regroup -> row take -> W2 place) vs a plain numpy permutation
+oracle. Kernels run in Pallas interpret mode on CPU."""
 
 import numpy as np
 import pytest
@@ -21,7 +21,6 @@ def _check_coloring(src, dst, col, max_colors):
 ])
 def test_edge_color_numpy(seed, n_src, n_dst, deg):
     rng = np.random.RandomState(seed)
-    # random bipartite multigraph with max degree <= deg on both sides
     src = np.repeat(np.arange(n_src), deg)
     dst = rng.permutation(np.repeat(np.arange(n_dst),
                                     len(src) // n_dst + 1)[:len(src)])
@@ -45,58 +44,72 @@ def test_edge_color_native_matches_contract():
     E = 5000
     src = rng.randint(0, 64, E)
     dst = rng.randint(0, 64, E)
-    # cap degrees at 128 (they are ~78 expected, fine)
     col = native.edge_color(src, dst, 128)
     _check_coloring(src, dst, col, 128)
 
 
-def _apply_oracle(target, pre, vals_orig, n_out_pad):
-    """out[target[k]] = vals_orig[k]; unspecified positions = nan."""
+def _apply_oracle(target, vals, n_out_pad):
+    """out[target[k]] = vals[k]; unspecified positions = nan."""
     out = np.full(n_out_pad, np.nan, np.float32)
-    for j, k in enumerate(pre):
-        if k >= 0 and target[k] >= 0:
-            out[target[k]] = vals_orig[k]
+    real = target >= 0
+    out[target[real]] = vals[real]
     return out
 
 
-@pytest.mark.parametrize("seed,n,n_out,free_block,sup_rows", [
-    (0, 1000, 1000, 256, 64),      # multiple supertiles
-    (1, 5000, 5000, 512, 64),
-    (2, 300, 2000, 128, 32),       # sparse targets (gaps in output)
-    (3, 4096, 4096, 4096, 256),    # one free block, one supertile
-    (4, 130, 130, 128, 32),        # tiny
+@pytest.mark.parametrize("seed,n,n_out", [
+    (0, 40000, 40000),       # multiple blocks in and out
+    (1, 100000, 120000),     # output bigger than input
+    (2, 3000, 50000),        # sparse targets (gaps in output)
+    (3, 16384, 16384),       # exactly one block
+    (4, 130, 130),           # tiny
+    (5, 70000, 40000),       # many input pads
 ])
-def test_permute_matches_oracle(seed, n, n_out, free_block, sup_rows):
+def test_permute_matches_oracle(seed, n, n_out):
     rng = np.random.RandomState(seed)
     target = np.full(n, -1, np.int64)
-    n_real = int(0.9 * n)
+    n_real = min(int(0.8 * n), n_out)
     ks = rng.choice(n, n_real, replace=False)
     target[ks] = rng.choice(n_out, n_real, replace=False)
     vals = rng.randn(n).astype(np.float32)
     vals2 = rng.randn(n).astype(np.float32)
 
-    pb = build_permute(target, n_out, free_block=free_block,
-                       sup_rows=sup_rows)
-    plan, pre = pb.plan, pb.pre
-    assert plan.n_in == len(pre)
-    # caller-side pre-ordering of the stored stream
-    v_in = np.where(pre >= 0, vals[np.maximum(pre, 0)], 0).astype(np.float32)
-    v2_in = np.where(pre >= 0, vals2[np.maximum(pre, 0)],
-                     0).astype(np.float32)
-
-    out, out2 = apply_permute(plan, v_in, v2_in, interpret=True)
+    plan = build_permute(target, n_out)
+    out, out2 = apply_permute(plan, vals, vals2, interpret=True)
     out, out2 = np.asarray(out), np.asarray(out2)
-    want = _apply_oracle(target, pre, vals, plan.n_out)
+    want = _apply_oracle(target, vals, plan.n_out)
     ok = ~np.isnan(want)
     np.testing.assert_array_equal(out[ok], want[ok])
-    want2 = _apply_oracle(target, pre, vals2, plan.n_out)
+    want2 = _apply_oracle(target, vals2, plan.n_out)
     np.testing.assert_array_equal(out2[ok], want2[ok])
+
+
+def test_permute_empty_and_single():
+    plan = build_permute(np.full(100, -1, np.int64), 100)
+    (out,) = apply_permute(plan, np.zeros(100, np.float32),
+                           interpret=True)
+    assert out.shape[0] == plan.n_out
+
+    t = np.full(5, -1, np.int64)
+    t[3] = 7
+    plan = build_permute(t, 16)
+    v = np.arange(5, dtype=np.float32)
+    (out,) = apply_permute(plan, v, interpret=True)
+    assert np.asarray(out)[7] == 3.0
 
 
 def test_permute_rejects_bad_targets():
     with pytest.raises(ValueError):
-        build_permute(np.array([0, 0]), 4, free_block=128)   # duplicate
+        build_permute(np.array([0, 0]), 4)    # duplicate
     with pytest.raises(ValueError):
-        build_permute(np.array([5]), 4, free_block=128)      # out of range
+        build_permute(np.array([5]), 4)       # out of range
+
+
+def test_permute_halfblock_budget():
+    """An input block scattering into >3*128 destination blocks must be
+    rejected (the caller pre-orders by destination megablock instead)."""
+    n_blocks = 600
+    # one input block, elements hitting 600 distinct destination blocks
+    target = np.full(16384, -1, np.int64)
+    target[:n_blocks] = np.arange(n_blocks) * 16384
     with pytest.raises(ValueError):
-        build_permute(np.array([0]), 4, free_block=100)      # bad block
+        build_permute(target, n_blocks * 16384)
