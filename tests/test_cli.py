@@ -230,11 +230,23 @@ def test_per_device_metrics_rows(mtx_file, capsys):
                          ["-q", "--devices=4", "--papi-event-per-thread",
                           mtx_file], capsys)
     assert rc == 0
-    assert "Per-device workload" in err
+    # measured per-shard rows, labeled as such (papi_util.c:672-730
+    # measures per thread; round-1 printed static nnz fractions)
+    assert "Per-device workload (measured" in err
+    assert "ms" in err
     rc, _, err = run_cli(csrspmv.main,
                          ["-q", "--devices=4", "--papi-event-per-thread",
                           "--papi-event-format=csv", mtx_file], capsys)
-    assert rc == 0 and "device,rows,nonzeros" in err
+    assert rc == 0 and "device,rows,nonzeros,measured_s" in err
+
+
+def test_workload_summary_at_verbose(mtx_file, capsys):
+    """verbose>=1 min/max rows+nnz summary (csrspmv.c:2225-2285)."""
+    rc, _, err = run_cli(csrspmv.main,
+                         ["-q", "-v", "--devices=4", mtx_file], capsys)
+    assert rc == 0
+    assert "rows per device: min" in err
+    assert "nonzeros per device: min" in err
 
 
 def test_bundled_example_matrix(capsys):
