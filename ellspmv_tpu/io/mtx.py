@@ -308,8 +308,23 @@ def write_vector(f_or_path, y: np.ndarray, comment: str | None = None,
 def write_matrix(f_or_path, coo, comment: str | None = None,
                  precision: int = 17) -> None:
     """Write a CooMatrix in coordinate format (1-based). Used by tests and
-    the matrix generators; the reference has no matrix writer."""
+    the matrix generators; the reference has no matrix writer. Large
+    matrices written to a path use the native bulk writer
+    (native/mtxwrite.cc) when available."""
     own = not hasattr(f_or_path, "write")
+    if (own and comment is None and precision >= 17
+            and len(coo.rowidx) >= 1_000_000):
+        from ellspmv_tpu.io import native
+        if native.available():
+            try:
+                native.write_coo(
+                    f_or_path, coo.num_rows, coo.num_columns,
+                    coo.rowidx, coo.colidx,
+                    None if coo.field == "pattern" else coo.values,
+                    symmetric=coo.symmetry == "symmetric")
+                return
+            except native.NativeUnsupported:
+                pass
     f = open(f_or_path, "w") if own else f_or_path
     try:
         field = "pattern" if coo.field == "pattern" else "real"

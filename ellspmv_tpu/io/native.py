@@ -129,6 +129,38 @@ def read_matrix(path: str, gzipped: bool | None = None,
         lib.mtxio_free(res)
 
 
+def write_coo(path: str, num_rows: int, num_cols: int, rowidx, colidx,
+              values=None, symmetric: bool = False) -> None:
+    """Fast Matrix Market coordinate writer (native/mtxwrite.cc);
+    shortest-round-trip value formatting. Raises NativeUnsupported when
+    the library is unavailable (callers fall back to the python writer)."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native library not built")
+    if not getattr(lib, "_write_bound", False):
+        lib.mtxio_write_coo.restype = ctypes.c_int32
+        lib.mtxio_write_coo.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
+        lib._write_bound = True
+    rowidx = np.ascontiguousarray(rowidx, np.int64)
+    colidx = np.ascontiguousarray(colidx, np.int64)
+    vptr = ctypes.POINTER(ctypes.c_double)()
+    if values is not None:
+        values = np.ascontiguousarray(values, np.float64)
+        vptr = values.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.mtxio_write_coo(
+        os.fspath(path).encode(), int(num_rows), int(num_cols),
+        len(rowidx),
+        rowidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        colidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vptr, 1 if symmetric else 0)
+    if rc != 0:
+        raise OSError(f"native matrix write failed ({rc})")
+
+
 def edge_color(src, dst, max_colors: int = 128) -> np.ndarray:
     """Bipartite edge coloring (native Euler-split walker, native/color.cc);
     used by the static-permutation planner (ops/permute.py)."""

@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ellspmv_tpu.ops import plan as plan_mod
 
 _PLAN_ATTR = "_pallas_plan_cache"
+import ml_dtypes
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 # Slot loops are unrolled (straight-line code Mosaic can pipeline) when the
 # slot count — or the total unrolled scan work S*KS — is small; wider slot
@@ -364,6 +366,8 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 v = v_ref[0, s]
                 if v.ndim == 3:
                     v = v[0]
+                if v.dtype != jnp.float32:
+                    v = v.astype(jnp.float32)   # bf16 storage, f32 FMA
                 return acc + v * xg, acc_l
 
         zero = lambda: jnp.zeros((G, 128), jnp.float32)
@@ -542,8 +546,9 @@ class DevicePlan:
                 self.vals = (jnp.asarray(vh.reshape(T, S, G, 128)),
                              jnp.asarray(vl.reshape(T, S, G, 128)))
             else:
-                self.vals = (jnp.asarray(
-                    plan.vals.astype(np.float32).reshape(T, S, G, 128)),)
+                v0 = (plan.vals if plan.vals.dtype == _BF16
+                      else plan.vals.astype(np.float32))
+                self.vals = (jnp.asarray(v0.reshape(T, S, G, 128)),)
         else:
             self.plan = None
             self.cfg = _cfg
@@ -657,7 +662,8 @@ def get_plan(ell, **kw):
         return cached if cached != "unsupported" else None
     val_dt = np.dtype(np.asarray(ell.values).dtype)
     dd = val_dt == np.float64
-    vdt = np.float64 if dd else np.float32
+    vdt = (np.float64 if dd
+           else (_BF16 if val_dt == _BF16 else np.float32))
     vb = 8 if dd else 4
     plan = plan_mod.best_plan(ell, value_dtype=vdt, **kw)
 
@@ -726,7 +732,8 @@ def supported(ell, x) -> bool:
     if jax.devices()[0].platform not in ("tpu",):
         return False
     val_dt = np.dtype(np.asarray(ell.values).dtype)
-    if val_dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+    if val_dt not in (np.dtype(np.float32), np.dtype(np.float64),
+                      _BF16):
         return False
     return get_plan(ell) is not None
 

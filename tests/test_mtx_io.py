@@ -153,3 +153,27 @@ def test_strict_value_parsing():
     txt = "%%MatrixMarket matrix coordinate real general\n2 2 1\n1 1 abc\n"
     with pytest.raises(MtxFormatError):
         read_matrix(as_stream(txt))          # garbage token
+
+
+def test_native_writer_roundtrip(rng, tmp_path):
+    """Native bulk writer (native/mtxwrite.cc) round-trips exactly against
+    both readers (shortest-round-trip float formatting)."""
+    from ellspmv_tpu.io import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n = 2000
+    nnz = 1_100_000        # above the native-writer threshold
+    rows = rng.randint(0, n, nnz)
+    cols = rng.randint(0, n, nnz)
+    vals = rng.randn(nnz) * 10.0 ** rng.randint(-30, 30, nnz)
+    from ellspmv_tpu.formats.coo import CooMatrix
+    coo = CooMatrix(n, n, rows.astype(np.int64), cols.astype(np.int64),
+                    vals)
+    p = str(tmp_path / "big.mtx")
+    write_matrix(p, coo)
+    back = read_matrix(p, use_native=False)
+    np.testing.assert_array_equal(back.rowidx, rows)
+    np.testing.assert_array_equal(back.colidx, cols)
+    np.testing.assert_array_equal(back.values, vals)   # exact round trip
+    back2 = read_matrix(p, use_native=True)
+    np.testing.assert_array_equal(back2.values, vals)

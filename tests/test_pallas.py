@@ -304,3 +304,26 @@ def test_dia_pallas_offsets_beyond_128(rng, monkeypatch):
     want = coo_spmv_numpy(coo, x)
     scale = max(np.max(np.abs(want)), 1.0)
     np.testing.assert_allclose(got, want, rtol=5e-6, atol=5e-6 * scale)
+
+
+def test_bfloat16_pallas_path(rng, monkeypatch):
+    """bf16 storage / f32 compute in the windowed kernel (round-1 r9):
+    --precision=bfloat16 must not fall back to the XLA gather path."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    import ml_dtypes
+    from ellspmv_tpu.ops import ell_pallas
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    coo = poisson2d(24)
+    ell = ell_from_coo(coo, sort_rows=True,
+                       value_dtype=ml_dtypes.bfloat16).device_put()
+    dp = ell_pallas.get_plan(ell)
+    assert dp is not None
+    assert np.dtype(np.asarray(dp.vals[0]).dtype) == np.dtype(
+        ml_dtypes.bfloat16)          # stored bf16, not upcast
+    x = rng.rand(coo.num_columns)
+    got = np.asarray(ell_pallas.ell_spmv_pallas(ell, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    # bf16 storage: ~8-bit mantissa on the values
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * scale)
