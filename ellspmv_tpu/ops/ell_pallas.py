@@ -232,7 +232,10 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             idx = lcol_ref[0, s]
             if idx.ndim == 3:         # dynamic s: (1, G, 128) slice
                 idx = idx[0]
-            if idx.dtype != jnp.int32:
+            if idx.dtype == jnp.int8:
+                # int8 storage biased by -128 (KS*128 <= 256), i32 compute
+                idx = idx.astype(jnp.int32) + jnp.int32(128)
+            elif idx.dtype != jnp.int32:
                 idx = idx.astype(jnp.int32)   # int16 storage, i32 compute
             q = jax.lax.shift_right_logical(idx, jnp.int32(7))
             lane = jax.lax.bitwise_and(idx, jnp.int32(127))

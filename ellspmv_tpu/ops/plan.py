@@ -312,12 +312,21 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
             a.reshape(num_tiles, G, 128, S).transpose(0, 3, 1, 2)
         ).reshape(num_tiles, S * G, 128).astype(dt, copy=False)
 
-    # int16 local columns when they fit: 25% less index traffic for f32
-    # (validated on hardware; disable with ELLSPMV_TPU_LCOL16=0)
+    # narrow local columns when they fit: int16 saves 25% of the f32
+    # index traffic (validated on hardware; ELLSPMV_TPU_LCOL16=0
+    # disables); int8 (stored biased by -128, so KS*128 <= 256 fits
+    # exactly — the KS=2 mesh/stencil case) halves it again
+    # (ELLSPMV_TPU_LCOL8=0 disables).
     import os
-    lcol_dt = np.int16 if (KS * 128 <= np.iinfo(np.int16).max
-                           and os.environ.get("ELLSPMV_TPU_LCOL16", "1")
-                           != "0") else np.int32
+    lcol_dt = np.int32
+    if (KS * 128 <= np.iinfo(np.int16).max
+            and os.environ.get("ELLSPMV_TPU_LCOL16", "1") != "0"):
+        lcol_dt = np.int16
+    if (KS * 128 <= 256
+            and os.environ.get("ELLSPMV_TPU_LCOL8", "1") != "0"):
+        lcol_dt = np.int8
+    if lcol_dt == np.int8:
+        lcol = lcol - 128
 
     return EllPlan(
         rowsize=S, num_tiles=num_tiles, G=G, KS=KS, K128=K128,

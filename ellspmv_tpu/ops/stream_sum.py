@@ -246,9 +246,49 @@ class StreamSumPlan:
     levels: list                       # list[SumLevel]
     final_keys: jax.Array | np.ndarray  # concat of level tkeys (i32 row)
     num_rows: int = dataclasses.field(metadata=dict(static=True))
+    # static routing for the final natural-order reorder (None = sort)
+    final_perm: object = None
 
     def device_put(self):
         return jax.tree_util.tree_map(jnp.asarray, self)
+
+
+def _rank_targets(keys: np.ndarray) -> np.ndarray:
+    """Output position of each stream element after a sort by `keys`
+    (sentinels -> -1): the static-permutation target map."""
+    keys = np.asarray(keys)
+    srt = np.argsort(keys, kind="stable")
+    pos = np.empty(len(keys), np.int64)
+    pos[srt] = np.arange(len(keys))
+    return np.where(keys == _I32_SENTINEL, np.int64(-1), pos)
+
+
+def _attach_perms(plan: "StreamSumPlan") -> None:
+    """Replace the runtime sorts of levels >= 2 and the final reorder with
+    static routing (ops/permute.py) where the router's half-block budget
+    allows (their inputs are previous-level outputs, so the input order is
+    fixed but small). Level 1 is handled by the stream builder, which owns
+    the entry order. The sharded-uniform path keeps sorts: per-device
+    router shapes would differ and break SPMD uniformity."""
+    import os
+    if os.environ.get("ELLSPMV_TPU_NO_PERMUTE"):
+        return
+    from ellspmv_tpu.ops.permute import build_permute
+    for lv in plan.levels[1:]:
+        try:
+            lv.perm = build_permute(_rank_targets(lv.keys),
+                                    n_out=lv.in_rows * 128)
+        except ValueError:
+            pass
+    # final reorder: every row terminates exactly once, so the sorted
+    # position of a terminal output IS its row id
+    fk = np.asarray(plan.final_keys)
+    target = np.where(fk == _I32_SENTINEL, np.int64(-1),
+                      fk.astype(np.int64))
+    try:
+        plan.final_perm = build_permute(target, n_out=plan.num_rows)
+    except ValueError:
+        pass
 
 
 def _build_level(dest: np.ndarray, n_rows: int, cap: int,
@@ -457,8 +497,10 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
         first = False
         if nxt is None:
             final = np.concatenate([lv.tkeys for lv in levels])
-            return StreamSumPlan(levels=levels, final_keys=final,
+            plan = StreamSumPlan(levels=levels, final_keys=final,
                                  num_rows=n_rows)
+            _attach_perms(plan)
+            return plan
         cur = nxt
 
 
@@ -592,12 +634,22 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
             ol = jnp.concatenate(outs_l)
             parts_l.append(ol[lv.multi_len:])
             vl = ol[:lv.multi_len]
-    fk = jnp.asarray(plan.final_keys)
     n = plan.num_rows
     vh = jnp.concatenate(parts_h)
     if dd:
         vl = jnp.concatenate(parts_l)
+        if plan.final_perm is not None:
+            from ellspmv_tpu.ops.permute import apply_permute
+            vh, vl = apply_permute(plan.final_perm, vh, vl,
+                                   interpret=interpret)
+            return vh[:n], vl[:n]
+        fk = jnp.asarray(plan.final_keys)
         _, vh, vl = jax.lax.sort((fk, vh, vl), num_keys=1, is_stable=False)
         return vh[:n], vl[:n]
+    if plan.final_perm is not None:
+        from ellspmv_tpu.ops.permute import apply_permute
+        (vh,) = apply_permute(plan.final_perm, vh, interpret=interpret)
+        return vh[:n]
+    fk = jnp.asarray(plan.final_keys)
     _, vh = jax.lax.sort((fk, vh), num_keys=1, is_stable=False)
     return vh[:n]

@@ -182,7 +182,10 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
         delta = p.wbase128.astype(np.int64) - wb       # widen window down
         qb = p.qb.astype(np.int64).copy()              # (T, 2, 1)
         qb[:, 0, :] += delta[:, None]
-        lcol = p.lcol.reshape(T, 1, Gp, 128)
+        lcol = p.lcol
+        if lcol.dtype == np.int8:     # biased storage: unbias first
+            lcol = lcol.astype(np.int16) + np.int16(128)
+        lcol = lcol.reshape(T, 1, Gp, 128)
         return (wb.astype(np.int32), qb.astype(np.int32),
                 lcol.astype(lcol_dt))
 
