@@ -120,26 +120,60 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         pos = np.empty(prod_len, np.int64)
         pos[srt] = np.arange(prod_len)
         target = np.where(keys == _I32_SENTINEL, np.int64(-1), pos)
-        mega = target[:nnz] // (BLOCK * 128)
+        # megablock = up to 128 destination blocks (the router's W1
+        # half-block budget); smaller override for test coverage
+        mega_elems = int(os.environ.get("ELLSPMV_TPU_STREAM_MEGA",
+                                        BLOCK * 128))
+        mega = target[:nnz] // mega_elems
         pre = np.lexsort((cols, mega))
-        target2 = np.concatenate([target[:nnz][pre], target[nnz:]])
+        mega_s = mega[pre]
+        # pad every megablock group to a BLOCK multiple: product-plan
+        # tiles then never straddle a group boundary (a straddling tile's
+        # column window would span the whole image and sink the plan)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(mega_s[1:] != mega_s[:-1]) + 1, [nnz]])
+        sizes = np.diff(starts)
+        padded = np.maximum(-(-sizes // BLOCK) * BLOCK, BLOCK)
+        offs = np.concatenate([[0], np.cumsum(padded)])[:-1]
+        grp_of = np.repeat(np.arange(len(sizes)), sizes)
+        within = np.arange(nnz) - starts[:-1][grp_of]
+        pos2 = offs[grp_of] + within
+        prod_len2 = int(padded.sum())
+        cols2 = np.zeros(prod_len2, np.int32)
+        vals2 = np.zeros(prod_len2, val_dt)
+        cols2[pos2] = cols[pre]
+        vals2[pos2] = vals[pre]
+        # pad slots inherit the nearest preceding real column so windows
+        # stay tight (value 0 makes them inert)
+        filled = np.zeros(prod_len2, bool)
+        filled[pos2] = True
+        last = np.maximum.accumulate(
+            np.where(filled, np.arange(prod_len2), -1))
+        first_col = cols[pre][0] if nnz else np.int32(0)
+        cols2 = np.where(last >= 0, cols2[np.maximum(last, 0)], first_col)
+        target2 = np.full(prod_len2, -1, np.int64)
+        target2[pos2] = target[:nnz][pre]
         try:
             lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128)
         except ValueError:
             pass     # router budget exceeded: keep the sort path
         else:
-            cols, vals = cols[pre], vals[pre]
-            lvl1.keys = np.concatenate([keys[:nnz][pre], keys[nnz:]])
+            cols, vals = cols2.astype(np.int32), vals2
+            prod_len = prod_len2
+            keys2 = np.full(prod_len2, _I32_SENTINEL, np.int32)
+            keys2[pos2] = keys[:nnz][pre]
+            lvl1.keys = keys2
     ddsum = ddsum.device_put()
 
-    # rowsize-1 ELL over the (possibly re-ordered) entries: the product
-    # kernel
-    pad_col = np.int32(cols[-1]) if nnz else np.int32(0)
+    # rowsize-1 ELL over the (possibly re-ordered, group-padded) entries:
+    # the product kernel
+    k = len(cols)
+    pad_col = np.int32(cols[-1]) if k else np.int32(0)
     pcol = np.full((prod_len, 1), pad_col, np.int32)
     pval = np.zeros((prod_len, 1), val_dt)
-    if nnz:
-        pcol[:nnz, 0] = cols
-        pval[:nnz, 0] = vals
+    if k:
+        pcol[:k, 0] = cols
+        pval[:k, 0] = vals
     prod_ell = EllMatrix(colidx=pcol, values=pval, diag=None,
                         num_rows=prod_len, num_columns=m,
                         num_nonzeros=nnz)
@@ -151,9 +185,9 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         prod_cols = prod_vals = None
     else:
         dp = None
-        prod_cols = jnp.asarray(np.pad(cols, (0, prod_len - nnz)))
+        prod_cols = jnp.asarray(np.pad(cols, (0, prod_len - k)))
         pv = np.zeros(prod_len, val_dt)
-        pv[:nnz] = vals
+        pv[:k] = vals
         prod_vals = jnp.asarray(pv)
 
     if diag is not None:

@@ -177,3 +177,34 @@ def test_stream_bfloat16_precision(rng):
     want = coo_spmv_numpy(coo, x)
     scale = max(np.max(np.abs(want)), 1.0)
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * scale)
+
+
+def test_stream_multi_megablock_grouping(rng, monkeypatch):
+    """Multiple router megablock groups: entries re-grouped by destination
+    megablock with per-group BLOCK padding (so product tiles never
+    straddle groups). Exercised at a tiny megablock size."""
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_MEGA", str(16384 * 2))
+    coo = random_coo(rng, 1200, 900, 40000, with_dups=True)
+    sm = _check(coo, np.float64, rng)
+    lvl1 = sm.ddsum.levels[0]
+    assert lvl1.perm is not None            # router active
+    assert sm.prod_len % 16384 == 0
+
+
+def test_stream_router_active_and_matches_sort(rng):
+    """Router output == sort output bit-for-bit on the same build."""
+    import os
+    coo = random_coo(rng, 800, 700, 20000)
+    x = rng.rand(coo.num_columns)
+    sm1 = stream_from_coo(coo, value_dtype=np.float64)
+    assert sm1.ddsum.levels[0].perm is not None
+    assert sm1.ddsum.final_perm is not None
+    got1 = np.asarray(stream_spmv(sm1, x), np.float64)
+    os.environ["ELLSPMV_TPU_NO_PERMUTE"] = "1"
+    try:
+        sm2 = stream_from_coo(coo, value_dtype=np.float64)
+        assert sm2.ddsum.levels[0].perm is None
+        got2 = np.asarray(stream_spmv(sm2, x), np.float64)
+    finally:
+        del os.environ["ELLSPMV_TPU_NO_PERMUTE"]
+    np.testing.assert_array_equal(got1, got2)
