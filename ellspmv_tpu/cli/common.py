@@ -536,9 +536,12 @@ def _kernel_name(fmt: str, opts, mat) -> str:
     output; csrgemv variants csrspmv.c:2851-2868)."""
     if fmt == "ell":
         if opts.format == "auto":
+            from ellspmv_tpu.formats.dia import DiaMatrix
             from ellspmv_tpu.formats.stream import StreamMatrix
             if isinstance(mat, StreamMatrix):
                 return "gemv_stream"
+            if isinstance(mat, DiaMatrix):
+                return "gemv_dia"
         elif opts.format not in (None, "ell"):
             return f"gemv_{opts.format}"
         if opts.separate_diagonal and mat.rowsize == 16:
@@ -689,7 +692,8 @@ def _convert(coo, opts, csr, program):
         mat = auto_from_coo(coo, separate_diagonal=opts.separate_diagonal,
                             sort_rows=True, value_dtype=opts.precision,
                             index_dtype=(f"int{opts.index_width}"
-                                         if opts.index_width else None))
+                                         if opts.index_width else None),
+                            allow_dia=opts.devices <= 1)
         convert_name = f"auto_from_coo [{mat._auto_choice}]"
         per_row = f", {mat._auto_reason}"
     elif opts.format == "dia":

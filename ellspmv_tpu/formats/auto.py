@@ -33,7 +33,7 @@ _MAX_PAD_RATIO = 4.0
 
 def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                   sort_rows: bool = True, value_dtype=None,
-                  index_dtype=None):
+                  index_dtype=None, allow_dia: bool = True):
     """Return the cheaper of (planned ELLPACK, stream) for this matrix.
 
     The decision is recorded on the returned matrix as `_auto_choice`
@@ -65,6 +65,39 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)")
 
     from ellspmv_tpu.bench import calibrate
+
+    # DIA: when the matrix lives on a handful of dense diagonals, the
+    # gather-free resident-x kernel is the cheapest formulation; price it
+    # by streamed bytes at the calibrated HBM rate
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.ops import dia_pallas
+    vb = 8 if dd else 4
+    if allow_dia and separate_diagonal is False and nnz >= 3 * n:
+        dia = dia_from_coo(coo, value_dtype=value_dtype)
+        if (dia is not None
+                and dia.diasize <= 2 * nnz       # diagonal fill >= 50%
+                and dia_pallas.get_plan(dia) is not None):
+            hbm_per_s = (calibrate.get("hbm_bytes_per_cycle")
+                         * calibrate.get("cycles_per_s"))
+            dia_ns = ((dia.diasize + 2 * n) * vb) / hbm_per_s * 1e9
+            ell_ns = None
+            ell_try = ell_from_coo(coo, sort_rows=sort_rows,
+                                   value_dtype=value_dtype,
+                                   index_dtype=index_dtype)
+            dp_try = ell_pallas.get_plan(ell_try)
+            if dp_try is not None:
+                ell_ns = (plan_mod.estimate_cycles(dp_try.plan, vb, dd)
+                          / calibrate.get("cycles_per_s") * 1e9)
+            if ell_ns is None or dia_ns < ell_ns:
+                object.__setattr__(dia, "_auto_choice", "dia")
+                object.__setattr__(
+                    dia, "_auto_reason",
+                    f"{dia.num_diags} dense diagonals (est "
+                    f"{dia_ns / 1e6:.3f} ms"
+                    + (f" <= ELL {ell_ns / 1e6:.3f} ms)" if ell_ns
+                       else ", no ELL plan)"))
+                return dia
+            # ELL beat DIA: fall through to the ELL-vs-stream pricing
     ell = ell_from_coo(coo, separate_diagonal=separate_diagonal,
                        sort_rows=sort_rows, value_dtype=value_dtype,
                        index_dtype=index_dtype)

@@ -208,3 +208,20 @@ def test_stream_router_active_and_matches_sort(rng):
     finally:
         del os.environ["ELLSPMV_TPU_NO_PERMUTE"]
     np.testing.assert_array_equal(got1, got2)
+
+
+def test_auto_picks_dia_for_stencil(rng, monkeypatch):
+    """The auto chooser prices the gather-free DIA kernel for
+    diagonal-dense matrices (round-2: DIA is the fastest stencil path)."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.dia import DiaMatrix
+    from ellspmv_tpu.models.generators import poisson2d
+
+    m = auto_from_coo(poisson2d(48), value_dtype=np.float64)
+    assert isinstance(m, DiaMatrix)
+    assert m._auto_choice == "dia"
+    # gated off for sharded runs
+    m2 = auto_from_coo(poisson2d(48), value_dtype=np.float64,
+                       allow_dia=False)
+    assert not isinstance(m2, DiaMatrix)
