@@ -36,10 +36,10 @@ def test_auto_chooser_follows_calibration(rng):
     # absurdly slow clock -> the windowed plan prices astronomically ->
     # stream wins even on a stencil
     calibrate.inject({"cycles_per_s": 1.0})
-    m = auto_from_coo(coo, value_dtype=np.float64)
+    m = auto_from_coo(coo, value_dtype=np.float64, allow_dia=False)
     assert isinstance(m, StreamMatrix)
     calibrate.inject({"stream_ns_per_nnz": 1e9})
-    m = auto_from_coo(coo, value_dtype=np.float64)
+    m = auto_from_coo(coo, value_dtype=np.float64, allow_dia=False)
     assert isinstance(m, EllMatrix)
 
     # power-law with huge stream price: ELL wins despite bad locality
