@@ -76,7 +76,9 @@ def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
             if s == 0:
                 return buf[pl.ds(row0, G), :]
             w = buf[pl.ds(row0, G + 1), :]
-            r = pltpu.roll(w, 128 - s, 1)
+            # shift must be i32: a bare python int traces as i64 under
+            # jax_enable_x64 and Mosaic's dynamic_rotate rejects it
+            r = pltpu.roll(w, jnp.int32(128 - s), 1)
             return jnp.where(lane < jnp.int32(128 - s), r[:G], r[1:G + 1])
 
         if dd:
