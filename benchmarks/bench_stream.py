@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-oracle", action="store_true")
     ap.add_argument("--no-permute", action="store_true")
+    ap.add_argument("--stages", action="store_true",
+                    help="also time products / products+route stages")
     args = ap.parse_args()
     if args.no_permute:
         os.environ["ELLSPMV_TPU_NO_PERMUTE"] = "1"
@@ -72,6 +74,51 @@ def main():
         want = coo_spmv_numpy(coo, x)
         err = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-300)
         print(f"oracle normwise err: {err:.2e}", flush=True)
+
+    if args.stages and strm.prod is not None and strm.dd:
+        # per-stage chained timings: products alone, then + level-1 route
+        import jax.numpy as jnp
+        from ellspmv_tpu.bench.harness import _sync
+        from ellspmv_tpu.ops.permute import apply_permute
+
+        xh = jnp.asarray(x, jnp.float32)
+        xl = jnp.asarray(x - np.asarray(xh, np.float64), jnp.float32)
+        perm = strm.ddsum.levels[0].perm
+
+        def time_stage(name, step):
+            import jax
+
+            def make(iters):
+                @jax.jit
+                def run(op, a, b):
+                    def body(_, c):
+                        return step(op, c[0], c[1])
+                    return jax.lax.fori_loop(0, iters, body, (a, b))
+                return run
+            lo, hi = make(2), make(10)
+            op = strm.prod
+            _sync(lo(op, xh, xl)); _sync(hi(op, xh, xl))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter(); _sync(lo(op, xh, xl))
+                tl = time.perf_counter() - t0
+                t0 = time.perf_counter(); _sync(hi(op, xh, xl))
+                th = time.perf_counter() - t0
+                best = min(best, max((th - tl) / 8, 1e-9))
+            print(f"stage {name}: {best * 1e3:.3f} ms", flush=True)
+
+        def prod_only(op, a, b):
+            ph, plo = op.apply_pair(a, b)
+            return ph[:a.shape[0]] * 1e-6, plo[:a.shape[0]] * 1e-6
+
+        time_stage("products", prod_only)
+        if perm is not None:
+            def prod_route(op, a, b):
+                ph, plo = op.apply_pair(a, b)
+                rh, rl = apply_permute(perm, ph.reshape(-1),
+                                       plo.reshape(-1))
+                return (rh[:a.shape[0]] * 1e-6, rl[:a.shape[0]] * 1e-6)
+            time_stage("products+route", prod_route)
 
 
 if __name__ == "__main__":
