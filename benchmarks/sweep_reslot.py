@@ -53,6 +53,10 @@ def main():
             print(f"S={w}: no plan", flush=True)
             continue
         dp = DevicePlan(ell, plan, dd=True)
+        # duck-type what the chained harness reads off a "matrix"
+        dp.num_rows = args.n
+        dp.num_columns = args.n
+        dp.values = np.zeros(0, np.float64)
         t_build = time.perf_counter() - t0
 
         def fn(op, xv, yv):
