@@ -239,6 +239,10 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
                              "(x is re-derived from y each iteration)")
         val_dtype = np.asarray(
             getattr(matrix, "values", getattr(matrix, "data", None))).dtype
+        # the chained carry must be dtype-stable: iterate at the matrix's
+        # value dtype (an f32 kernel returns f32 y, which becomes the next
+        # x — an f64 x0 would flip the carry dtype after one iteration)
+        x = x.astype(val_dtype)
         # small enough that ||A||*scale < 1 for any realistic matrix: the
         # chained y would otherwise grow by (scale*||A||)^k and overflow in
         # long adaptive runs (values don't affect TPU timing)
