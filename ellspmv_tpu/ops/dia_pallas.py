@@ -39,7 +39,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
-                     rows0: tuple, dd: bool, fastdd: bool):
+                     rows0: tuple, dd: bool, fastdd: bool,
+                     nacc: int = 2):
     """Per tile: DMA nothing (x image resident from step 0); for each
     diagonal d: read (G+1,128) at row i*G + rows0[d], roll lanes by the
     static shift, select the straddle, FMA into the accumulator."""
@@ -82,14 +83,22 @@ def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
             return jnp.where(lane < jnp.int32(128 - s), r[:G], r[1:G + 1])
 
         if dd:
-            acc = jnp.zeros((G, 128), jnp.float32)
-            accl = jnp.zeros((G, 128), jnp.float32)
+            # independent accumulators break the serial per-diagonal
+            # dd-renorm chain (no gathers here, so the FMA chain is the
+            # critical path)
+            from ellspmv_tpu.ops.ell_pallas import _dd_add
+            na = max(1, min(nacc, D))
+            zero = lambda: jnp.zeros((G, 128), jnp.float32)
+            accs = [(zero(), zero()) for _ in range(na)]
             for d in range(D):
                 vh = vh_ref[0, d * G:(d + 1) * G]
                 vl = vl_ref[0, d * G:(d + 1) * G]
-                acc, accl = _dd_fma(acc, accl, vh, vl,
-                                    xslice(xw, d), xslice(xwl, d),
-                                    fast=fastdd)
+                accs[d % na] = _dd_fma(*accs[d % na], vh, vl,
+                                       xslice(xw, d), xslice(xwl, d),
+                                       fast=fastdd)
+            acc, accl = accs[0]
+            for a2, a2l in accs[1:]:
+                acc, accl = _dd_add(acc, accl, a2, a2l)
             yh_ref[0] = acc
             yl_ref[0] = accl
         else:
@@ -114,12 +123,14 @@ def _dia_specs(DG, G, n_x, n_out):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "D", "G", "T", "shifts", "rows0", "nx128", "fastdd", "interpret"))
+    "D", "G", "T", "shifts", "rows0", "nx128", "fastdd", "nacc",
+    "interpret"))
 def _dia_run_dd(vh, vl, x2h, x2l, D, G, T, shifts, rows0, nx128,
-                fastdd=False, interpret=False):
+                fastdd=False, nacc=2, interpret=False):
     in_specs, out_specs = _dia_specs(D * G, G, 2, 2)
     return pl.pallas_call(
-        _make_dia_kernel(D, G, T, shifts, rows0, dd=True, fastdd=fastdd),
+        _make_dia_kernel(D, G, T, shifts, rows0, dd=True, fastdd=fastdd,
+                         nacc=nacc),
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -232,6 +243,7 @@ class DiaDevicePlan:
             jnp.pad(xl, pad).reshape(c["nx128"], 128),
             D=c["D"], G=c["G"], T=c["T"], shifts=c["shifts"],
             rows0=c["rows0"], nx128=c["nx128"], fastdd=c["fastdd"],
+            nacc=int(os.environ.get("ELLSPMV_TPU_DIA_NACC", "2")),
             interpret=c["interpret"])
         n = c["n"]
         return yh.reshape(-1)[:n], yl.reshape(-1)[:n]
