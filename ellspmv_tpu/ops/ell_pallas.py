@@ -702,7 +702,8 @@ def get_plan(ell, **kw):
         u = len(np.unique(offs))
         if S < u <= min(4 * S, cap):
             candidates.append(("offset", u))
-    candidates += [("offset", min(2 * S, cap)), ("column", None),
+    candidates += [("offset", min(3 * S // 2, cap)),
+                   ("offset", min(2 * S, cap)), ("column", None),
                    ("column", min(2 * S, cap)),
                    ("offset", min(4 * S, cap)),
                    ("column", min(4 * S, cap))]

@@ -117,7 +117,10 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
            # x window: DMA'd per tile when moving, once when resident
            + (1 if static else T) * K128 * 128 * value_bytes
            + T * G * 128 * value_bytes)          # y
-    gather_ops = (5 if dd else 3) * KS + (20 if dd else 2)
+    # per scan step: one dynamic lane gather per payload at ~4 cycles per
+    # (8,128) op (measured v5e; = ~12 op-units at the 3-ops/cycle VPU
+    # rate) + selects; dd pays it for hi and lo
+    gather_ops = (20 if dd else 10) * KS + (20 if dd else 2)
     # a (G,128) op with G<8 still occupies a full (8,128) native vreg op —
     # short tiles waste sublanes, so G is floored at 8 here
     vpu = (T * S * max(G, 8) * gather_ops

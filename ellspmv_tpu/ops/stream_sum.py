@@ -273,8 +273,13 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
     import os
     if os.environ.get("ELLSPMV_TPU_NO_PERMUTE"):
         return
+    # below this stream length a lax.sort is comparable to the router's
+    # fixed per-pass costs; ELLSPMV_TPU_PERMUTE_MIN tunes the crossover
+    min_len = int(os.environ.get("ELLSPMV_TPU_PERMUTE_MIN", "0"))
     from ellspmv_tpu.ops.permute import build_permute
     for lv in plan.levels[1:]:
+        if len(np.asarray(lv.keys)) < min_len:
+            continue
         try:
             lv.perm = build_permute(_rank_targets(lv.keys),
                                     n_out=lv.in_rows * 128)
@@ -283,6 +288,8 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
     # final reorder: every row terminates exactly once, so the sorted
     # position of a terminal output IS its row id
     fk = np.asarray(plan.final_keys)
+    if len(fk) < min_len:
+        return
     target = np.where(fk == _I32_SENTINEL, np.int64(-1),
                       fk.astype(np.int64))
     try:
