@@ -85,6 +85,24 @@ def get(name: str) -> float:
     return DEFAULTS[name]
 
 
+# Plausibility bounds: a jittered measurement must degrade to the default,
+# never be cached (no real TPU streams <8 or >20000 B/cycle or sorts
+# <0.1 ns/elem).  A bogus cached rate silently mis-tunes every plan.
+_PLAUSIBLE = {"hbm_bytes_per_cycle": (8.0, 2e4),
+              "stream_ns_per_nnz": (0.1, 1e3)}
+
+
+def _apply_plausibility_gate(out: dict, log=None) -> dict:
+    for name, (lo_ok, hi_ok) in _PLAUSIBLE.items():
+        if name in out and not (lo_ok <= out[name] <= hi_ok):
+            if log:
+                log.write(f"calibration: {name}={out[name]:.3g} outside "
+                          f"[{lo_ok}, {hi_ok}] - implausible (tunnel "
+                          f"jitter?), keeping default {DEFAULTS[name]}\n")
+            out[name] = DEFAULTS[name]
+    return out
+
+
 def _sync(x):
     import numpy as np
     import jax
@@ -103,18 +121,25 @@ def calibrate(save: bool = True, log=None) -> dict:
     out = {"cycles_per_s": clock}
 
     def timed(chain, *args, lo=4, hi=16):
+        # Remote-tunnel dispatch jitter is +-several ms per call; the
+        # (hi-lo) chain must be long enough that the slope signal
+        # dominates it, and a single jittered trial must not be able to
+        # poison the result (a min over clamped slopes once returned the
+        # 1e-9 floor -> a cached "HBM rate" of 1e8 GB/s that silently
+        # mis-tuned every subsequent plan).  Median of 5 trials.
         _sync(chain(*args, lo))
         _sync(chain(*args, hi))
-        best = float("inf")
-        for _ in range(3):
+        slopes = []
+        for _ in range(5):
             t0 = time.perf_counter()
             _sync(chain(*args, lo))
             t_lo = time.perf_counter() - t0
             t0 = time.perf_counter()
             _sync(chain(*args, hi))
             t_hi = time.perf_counter() - t0
-            best = min(best, max((t_hi - t_lo) / (hi - lo), 1e-9))
-        return best
+            slopes.append((t_hi - t_lo) / (hi - lo))
+        slopes.sort()
+        return max(slopes[len(slopes) // 2], 1e-9)
 
     # HBM stream rate: chained triad (read a + read b -> write out)
     n = 8 << 20
@@ -128,7 +153,7 @@ def calibrate(save: bool = True, log=None) -> dict:
             return b_ + a_ * 0.5, a_
         return jax.lax.fori_loop(0, iters, body, (a, b))
 
-    t = timed(triad, a, b)
+    t = timed(triad, a, b, lo=8, hi=128)   # ~15 ms slope signal
     gbps = 3 * n * 4 / t      # 2 reads + 1 write per iteration
     out["hbm_bytes_per_cycle"] = gbps / clock
 
@@ -147,8 +172,10 @@ def calibrate(save: bool = True, log=None) -> dict:
             return jax.lax.sort((k_, a_, b_), num_keys=1, is_stable=False)
         return jax.lax.fori_loop(0, iters, body, (k, v1, v2))
 
-    t = timed(sortchain, keys, v1, v2, lo=2, hi=8)
+    t = timed(sortchain, keys, v1, v2, lo=2, hi=12)
     out["stream_ns_per_nnz"] = max(t / m * 1e9, 0.05)
+
+    _apply_plausibility_gate(out, log)
 
     if log:
         log.write(f"calibration [{kind}]: HBM {gbps / 1e9:.0f} GB/s "

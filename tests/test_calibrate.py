@@ -64,3 +64,20 @@ def test_plan_cost_follows_calibration():
                       "tile_overhead_cycles": 300.0})
     dear_hbm = _cost(10, 4, 8, 2, 64, 8, True)
     assert dear_hbm > free_hbm
+
+
+def test_plausibility_gate_rejects_jittered_measurements():
+    # A tunnel-jittered slope once produced hbm_bytes_per_cycle ~1e8
+    # (100M GB/s "HBM"); the gate must replace such values with the
+    # defaults instead of caching them.
+    out = {"hbm_bytes_per_cycle": 107088612.0, "stream_ns_per_nnz": 1.34,
+           "cycles_per_s": 940e6}
+    calibrate._apply_plausibility_gate(out)
+    assert out["hbm_bytes_per_cycle"] == calibrate.DEFAULTS["hbm_bytes_per_cycle"]
+    assert out["stream_ns_per_nnz"] == 1.34          # plausible -> kept
+    assert out["cycles_per_s"] == 940e6              # ungated field
+
+    out = {"hbm_bytes_per_cycle": 870.0, "stream_ns_per_nnz": 1e-9}
+    calibrate._apply_plausibility_gate(out)
+    assert out["hbm_bytes_per_cycle"] == 870.0
+    assert out["stream_ns_per_nnz"] == calibrate.DEFAULTS["stream_ns_per_nnz"]
