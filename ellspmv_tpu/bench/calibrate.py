@@ -141,8 +141,12 @@ def calibrate(save: bool = True, log=None) -> dict:
         slopes.sort()
         return max(slopes[len(slopes) // 2], 1e-9)
 
-    # HBM stream rate: chained triad (read a + read b -> write out)
-    n = 8 << 20
+    # HBM stream rate: chained triad (read a + read b -> write out).
+    # The working set (2 carries + temp = ~288 MB) must exceed VMEM
+    # (~128 MiB on v5e) or XLA keeps the whole loop carry VMEM-resident
+    # and the "HBM" rate measures VMEM (observed: flat time from 8 to
+    # 1024 iterations at n=8M).
+    n = 24 << 20
     a = jnp.asarray(np.random.RandomState(0).rand(n).astype(np.float32))
     b = jnp.asarray(np.random.RandomState(1).rand(n).astype(np.float32))
 
@@ -153,13 +157,13 @@ def calibrate(save: bool = True, log=None) -> dict:
             return b_ + a_ * 0.5, a_
         return jax.lax.fori_loop(0, iters, body, (a, b))
 
-    t = timed(triad, a, b, lo=8, hi=128)   # ~15 ms slope signal
+    t = timed(triad, a, b, lo=4, hi=68)    # ~22 ms slope signal
     gbps = 3 * n * 4 / t      # 2 reads + 1 write per iteration
     out["hbm_bytes_per_cycle"] = gbps / clock
 
     # sort throughput (the stream path's former dominant cost; still the
     # fallback path and the auto-chooser's stream price)
-    m = 2 << 20
+    m = 8 << 20               # 100 MB of (i32,f32,f32): HBM-resident
     keys = jnp.asarray(
         np.random.RandomState(2).randint(0, 1 << 30, m).astype(np.int32))
     v1 = jnp.asarray(np.random.RandomState(3).rand(m).astype(np.float32))
@@ -172,7 +176,7 @@ def calibrate(save: bool = True, log=None) -> dict:
             return jax.lax.sort((k_, a_, b_), num_keys=1, is_stable=False)
         return jax.lax.fori_loop(0, iters, body, (k, v1, v2))
 
-    t = timed(sortchain, keys, v1, v2, lo=2, hi=12)
+    t = timed(sortchain, keys, v1, v2, lo=2, hi=6)
     out["stream_ns_per_nnz"] = max(t / m * 1e9, 0.05)
 
     _apply_plausibility_gate(out, log)

@@ -298,10 +298,14 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
 
         lo, hi = max(1, warmup or 2), max(8, repeat)
         per_iter, out = measure(lo, hi)
-        # sub-resolution kernels: rescale so the measured span dwarfs the
-        # ~ms dispatch jitter of the remote tunnel
-        if per_iter * hi < 0.02:
-            hi2 = min(int(0.05 / max(per_iter, 1e-7)), 5000)
+        # Rescale so the measured span dwarfs the ~±4 ms dispatch jitter
+        # of the remote tunnel: a 50 ms span still gave ±8% slope error
+        # (the headline read anywhere in 588-719 GB/s run to run).  Target
+        # ~0.3 s, rounded UP to a power of two so the loop-length-dependent
+        # compile hits the persistent cache across runs.
+        if per_iter * hi < 0.25:
+            hi2 = 1 << int(np.ceil(np.log2(0.3 / max(per_iter, 1e-7))))
+            hi2 = min(hi2, 4096)
             if hi2 > 2 * hi:
                 per_iter, out = measure(lo, hi2)
         return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
