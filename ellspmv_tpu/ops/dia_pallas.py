@@ -40,12 +40,19 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
                      rows0: tuple, dd: bool, fastdd: bool,
-                     nacc: int = 2):
-    """Per tile: DMA nothing (x image resident from step 0); for each
-    diagonal d: read (G+1,128) at row i*G + rows0[d], roll lanes by the
-    static shift, select the straddle, FMA into the accumulator."""
+                     nacc: int = 2, w128: int | None = None):
+    """Per tile: for each diagonal d, read (G+1,128) x blocks at the
+    diagonal's static block offset, roll lanes by the static shift,
+    select the straddle, FMA into the accumulator.  Gather-free.
 
-    lane_i = None
+    x staging (two modes):
+    - resident (w128 is None): the whole padded x image is DMA'd into
+      VMEM once at grid step 0 and reused by every tile — cheapest, but
+      caps n at the VMEM budget (~1.6M rows for dd).
+    - windowed (w128 set): each tile DMAs only the x blocks its
+      diagonals can touch ([i*G, i*G + w128)), double-buffered so tile
+      i+1's window loads while tile i computes — removes the scale cap
+      for banded diagonal sets (window height = G + offset span)."""
 
     def kernel(*refs):
         if dd:
@@ -55,24 +62,61 @@ def _make_dia_kernel(D: int, G: int, T: int, shifts: tuple,
             v_ref, x_hbm, y_ref, xw, sem = refs
         i = pl.program_id(0)
 
-        @pl.when(i == 0)
-        def _():
-            if dd:
-                c1 = pltpu.make_async_copy(xh_hbm, xw, sem)
-                c2 = pltpu.make_async_copy(xl_hbm, xwl, seml)
-                c1.start()
-                c2.start()
-                c1.wait()
-                c2.wait()
-            else:
-                c = pltpu.make_async_copy(x_hbm, xw, sem)
-                c.start()
+        if w128 is None:
+            sbase = jnp.int32(0)
+
+            @pl.when(i == 0)
+            def _():
+                if dd:
+                    c1 = pltpu.make_async_copy(xh_hbm, xw, sem)
+                    c2 = pltpu.make_async_copy(xl_hbm, xwl, seml)
+                    c1.start()
+                    c2.start()
+                    c1.wait()
+                    c2.wait()
+                else:
+                    c = pltpu.make_async_copy(x_hbm, xw, sem)
+                    c.start()
+                    c.wait()
+        else:
+            slot = jax.lax.rem(i, jnp.int32(2))
+            nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+            sbase = slot * jnp.int32(w128)
+
+            def dmas(buf, tile):
+                # each scratch is (2*w128, 128): buffer b = rows
+                # [b*w128, ...); the source window starts at x block
+                # tile*G (rows0 offsets are all >= 0 by construction)
+                dst = pl.ds(buf * jnp.int32(w128), w128)
+                src = pl.ds(tile * jnp.int32(G), w128)
+                if dd:
+                    return (pltpu.make_async_copy(xh_hbm.at[src],
+                                                  xw.at[dst], sem.at[buf]),
+                            pltpu.make_async_copy(xl_hbm.at[src],
+                                                  xwl.at[dst],
+                                                  seml.at[buf]))
+                return (pltpu.make_async_copy(x_hbm.at[src], xw.at[dst],
+                                              sem.at[buf]),)
+
+            @pl.when(i == 0)
+            def _():
+                for c in dmas(slot, i):
+                    c.start()
+
+            @pl.when(i + 1 < T)
+            def _():
+                for c in dmas(nxt, i + jnp.int32(1)):
+                    c.start()
+
+            for c in dmas(slot, i):
                 c.wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
 
         def xslice(buf, d):
-            row0 = i * jnp.int32(G) + jnp.int32(rows0[d])
+            row0 = sbase + jnp.int32(rows0[d])
+            if w128 is None:
+                row0 = row0 + i * jnp.int32(G)
             s = shifts[d]
             if s == 0:
                 return buf[pl.ds(row0, G), :]
@@ -122,24 +166,28 @@ def _dia_specs(DG, G, n_x, n_out):
     return in_specs, (outs if n_out > 1 else outs[0])
 
 
+def _x_scratch(w128, nx128):
+    if w128 is None:
+        return pltpu.VMEM((nx128, 128), jnp.float32), \
+            pltpu.SemaphoreType.DMA(())
+    return pltpu.VMEM((2 * w128, 128), jnp.float32), \
+        pltpu.SemaphoreType.DMA((2,))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "D", "G", "T", "shifts", "rows0", "nx128", "fastdd", "nacc",
-    "interpret"))
+    "interpret", "w128"))
 def _dia_run_dd(vh, vl, x2h, x2l, D, G, T, shifts, rows0, nx128,
-                fastdd=False, nacc=2, interpret=False):
+                fastdd=False, nacc=2, interpret=False, w128=None):
     in_specs, out_specs = _dia_specs(D * G, G, 2, 2)
+    xv, sem = _x_scratch(w128, nx128)
     return pl.pallas_call(
         _make_dia_kernel(D, G, T, shifts, rows0, dd=True, fastdd=fastdd,
-                         nacc=nacc),
+                         nacc=nacc, w128=w128),
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((nx128, 128), jnp.float32),
-            pltpu.VMEM((nx128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=[xv, xv, sem, sem],
         out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
                    jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
         interpret=interpret,
@@ -147,18 +195,18 @@ def _dia_run_dd(vh, vl, x2h, x2l, D, G, T, shifts, rows0, nx128,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "D", "G", "T", "shifts", "rows0", "nx128", "interpret"))
-def _dia_run_f32(v, x2, D, G, T, shifts, rows0, nx128, interpret=False):
+    "D", "G", "T", "shifts", "rows0", "nx128", "interpret", "w128"))
+def _dia_run_f32(v, x2, D, G, T, shifts, rows0, nx128, interpret=False,
+                 w128=None):
     in_specs, out_specs = _dia_specs(D * G, G, 1, 1)
+    xv, sem = _x_scratch(w128, nx128)
     return pl.pallas_call(
-        _make_dia_kernel(D, G, T, shifts, rows0, dd=False, fastdd=False),
+        _make_dia_kernel(D, G, T, shifts, rows0, dd=False, fastdd=False,
+                         w128=w128),
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((nx128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=[xv, sem],
         out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
         interpret=interpret,
     )(v, x2)
@@ -178,21 +226,52 @@ class DiaDevicePlan:
         n_rows = dia.num_rows
         m = dia.num_columns
         offs = dia.offsets
+        lead = _round_up(max(0, -min(offs)), 128)
+        shifts = tuple((lead + o) % 128 for o in offs)
+        rows0 = tuple((lead + o) // 128 for o in offs)
+        r0max = max(rows0)
+        vb = 2 if dd else 1
+
+        def sized(G):
+            R = G * 128
+            n_pad = _round_up(n_rows, R)
+            T = n_pad // R
+            need = max(n_pad + lead + max(max(offs), 0) + 128, lead + m)
+            nx128 = _round_up(-(-need // 128) + 1, 8)
+            return R, n_pad, T, nx128
+
+        def fits(x_scratch_rows, G):
+            # x scratch (hi+lo for dd) + double-buffered value tiles + y
+            return (x_scratch_rows * 128 * 4 * vb
+                    + D * G * 128 * 4 * vb * 2
+                    + G * 128 * 4 * vb * 2) <= plan_mod.VMEM_BUDGET_BYTES
+
         G = int(os.environ.get("ELLSPMV_TPU_DIA_G", "64"))
         R = G * 128
         while R // 2 >= max(_round_up(n_rows, 128), 128) and G > 1:
             G //= 2
             R = G * 128
-        n_pad = _round_up(n_rows, R)
-        T = n_pad // R
-        lead = _round_up(max(0, -min(offs)), 128)
-        need = max(n_pad + lead + max(max(offs), 0) + 128, lead + m)
-        nx128 = _round_up(-(-need // 128) + 1, 8)
+        R, n_pad, T, nx128 = sized(G)
+        w128 = None
+        if not fits(nx128, G):
+            # x image exceeds VMEM: windowed mode — each tile stages only
+            # the blocks its diagonals can touch, double-buffered.  Shrink
+            # G until the window + value tiles fit.
+            while G >= 1:
+                w = _round_up(G + r0max + 2, 8)
+                if fits(2 * w, G):
+                    w128 = w
+                    break
+                G //= 2
+            if w128 is None:
+                self.cfg = {"infeasible": True, "dd": dd}
+                self.vals = ()
+                return
+            R, n_pad, T, nx128 = sized(G)
+            nx128 = max(nx128, (T - 1) * G + w128)
         interpret = (jax.devices()[0].platform != "tpu"
                      or bool(os.environ.get(
                          "ELLSPMV_TPU_PALLAS_INTERPRET")))
-        shifts = tuple((lead + o) % 128 for o in offs)
-        rows0 = tuple((lead + o) // 128 for o in offs)
         pad = np.zeros((D, n_pad - n), data.dtype)
         dat = np.concatenate([data, pad], axis=1) if n_pad > n else data
         dat = dat.reshape(D, T, G, 128).transpose(1, 0, 2, 3).reshape(
@@ -207,15 +286,13 @@ class DiaDevicePlan:
                       != "0" and fma_contraction_available())
         self.cfg = dict(D=D, G=G, T=T, shifts=shifts, rows0=rows0,
                         nx128=nx128, lead=lead, m=m, n=n_rows, dd=dd,
-                        fastdd=fastdd, interpret=interpret)
+                        fastdd=fastdd, interpret=interpret, w128=w128)
 
     @property
     def vmem_ok(self) -> bool:
-        c = self.cfg
-        x_bytes = c["nx128"] * 128 * 4 * (2 if c["dd"] else 1)
-        v_bytes = c["D"] * c["G"] * 128 * 4 * (2 if c["dd"] else 1) * 2
-        return (x_bytes + v_bytes + c["G"] * 128 * 16
-                <= plan_mod.VMEM_BUDGET_BYTES)
+        # mode selection in __init__ already guarantees the VMEM budget;
+        # only a diagonal span too wide even for a G=1 window is refused
+        return not self.cfg.get("infeasible", False)
 
     def __call__(self, x):
         c = self.cfg
@@ -231,7 +308,8 @@ class DiaDevicePlan:
                      ).reshape(c["nx128"], 128)
         y = _dia_run_f32(self.vals[0], x2, D=c["D"], G=c["G"], T=c["T"],
                          shifts=c["shifts"], rows0=c["rows0"],
-                         nx128=c["nx128"], interpret=c["interpret"])
+                         nx128=c["nx128"], interpret=c["interpret"],
+                         w128=c["w128"])
         return y.reshape(-1)[:c["n"]]
 
     def apply_pair(self, xh, xl):
@@ -244,7 +322,7 @@ class DiaDevicePlan:
             D=c["D"], G=c["G"], T=c["T"], shifts=c["shifts"],
             rows0=c["rows0"], nx128=c["nx128"], fastdd=c["fastdd"],
             nacc=int(os.environ.get("ELLSPMV_TPU_DIA_NACC", "2")),
-            interpret=c["interpret"])
+            interpret=c["interpret"], w128=c["w128"])
         n = c["n"]
         return yh.reshape(-1)[:n], yl.reshape(-1)[:n]
 

@@ -327,3 +327,49 @@ def test_bfloat16_pallas_path(rng, monkeypatch):
     scale = max(np.max(np.abs(want)), 1.0)
     # bf16 storage: ~8-bit mantissa on the values
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * scale)
+
+
+def test_dia_pallas_windowed_mode(rng, monkeypatch):
+    """Windowed x staging (w128 set): a VMEM budget too small for the
+    resident image must fall back to double-buffered per-tile windows
+    with identical results (the path headline-scale n takes on
+    hardware)."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.models.generators import poisson2d
+    from ellspmv_tpu.ops import dia_pallas, plan as plan_mod
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    coo = poisson2d(40)     # n=1600: several 128-row groups
+    n = coo.num_rows
+    for dt, rtol in ((np.float64, 5e-6), (np.float32, 5e-6)):
+        dia = dia_from_coo(coo, value_dtype=dt).device_put()
+        # resident x needs nx128*128*4*vb > budget -> force windowed
+        monkeypatch.setattr(plan_mod, "VMEM_BUDGET_BYTES", 80_000)
+        dp = dia_pallas.get_plan(dia)
+        assert dp is not None and dp.cfg["w128"] is not None
+        x = rng.rand(n)
+        y0 = rng.randn(n)
+        got = np.asarray(dia_pallas.dia_spmv_pallas(dia, x, y0),
+                         np.float64)
+        want = coo_spmv_numpy(coo, x, y0)
+        scale = max(np.max(np.abs(want)), 1.0)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+
+
+def test_dia_pallas_infeasible_span(monkeypatch):
+    """A diagonal span too wide for even a G=1 window is refused (plan
+    None), not mis-built."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.formats.dia import dia_from_coo
+    from ellspmv_tpu.ops import dia_pallas, plan as plan_mod
+
+    n = 600
+    rows = np.arange(n, dtype=np.int64)
+    cols = np.concatenate([rows, (rows + 512) % n])
+    rows = np.concatenate([rows, rows])
+    coo = CooMatrix(n, n, rows, cols, np.ones(2 * n))
+    dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
+    monkeypatch.setattr(plan_mod, "VMEM_BUDGET_BYTES", 4_000)
+    assert dia_pallas.get_plan(dia) is None
