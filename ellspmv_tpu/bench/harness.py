@@ -252,16 +252,30 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
 
         # Pass the matrix data as jit ARGUMENTS: closing over it inside the
         # loop would embed the arrays as constants in the compiled program.
+        dd_chain = None
         if spmv_fn is None:
-            from ellspmv_tpu.ops.dispatch import traceable_spmv
-            try:
-                operand, fn = traceable_spmv(matrix)
-            except TypeError:
-                # no traceable form (e.g. the SELL hybrid): fall back to a
-                # closure — fine for small/medium matrices
-                from ellspmv_tpu.ops import spmv as _dispatch
-                operand, fn = matrix, (lambda m, xv, yv:
-                                       _dispatch(m, xv, yv))
+            if val_dtype == np.float64:
+                # fp64 iterations carry double-double (f32 hi/lo) pairs —
+                # the framework's native f64 representation (cg_dd keeps
+                # its vectors this way end-to-end). Same 8 B/elem moved;
+                # the per-iteration f64<->dd split/merge passes (up to
+                # ~half the traffic on low-arity matrices) vanish. One
+                # split at entry and one merge at exit sit outside the
+                # timed slope.
+                from ellspmv_tpu.ops.dispatch import traceable_spmv_dd
+                dd_chain = traceable_spmv_dd(matrix)
+            if dd_chain is not None:
+                operand, fn = dd_chain
+            else:
+                from ellspmv_tpu.ops.dispatch import traceable_spmv
+                try:
+                    operand, fn = traceable_spmv(matrix)
+                except TypeError:
+                    # no traceable form (e.g. the SELL hybrid): fall back
+                    # to a closure — fine for small/medium matrices
+                    from ellspmv_tpu.ops import spmv as _dispatch
+                    operand, fn = matrix, (lambda m, xv, yv:
+                                           _dispatch(m, xv, yv))
         else:
             tr = getattr(spmv_fn, "traceable", None)
             if tr is not None:
@@ -271,19 +285,43 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
             else:
                 operand, fn = matrix, spmv_fn
 
-        def make_loop(iters: int):
-            @jax.jit
-            def run(x0, y0, op):
-                def body(_, carry):
-                    xk, yk = carry
-                    yn = fn(op, xk, yk)
-                    # serial dependency so XLA cannot hoist or overlap
-                    return yn * scale, yn
-                return jax.lax.fori_loop(0, iters, body, (x0, y0))
-            return run
+        if dd_chain is not None:
+            from ellspmv_tpu.ops.dd_vec import DDVec, dd_from_f64
+            scale32 = jnp.asarray(float(scale), jnp.float32)
 
-        y0 = jnp.zeros(matrix.num_rows, val_dtype) if y is None \
-            else jnp.asarray(y)
+            def make_loop(iters: int):
+                @jax.jit
+                def run(x0, y0, op):
+                    def body(_, carry):
+                        xk, yk = carry
+                        yn = fn(op, xk, yk)
+                        # serial dependency so XLA cannot hoist or
+                        # overlap; componentwise scaling keeps the pair a
+                        # valid dd value (each component rounds once)
+                        return DDVec(yn.hi * scale32,
+                                     yn.lo * scale32), yn
+                    return jax.lax.fori_loop(0, iters, body, (x0, y0))
+                return run
+
+            x = dd_from_f64(x.astype(jnp.float64))
+            zero = DDVec(jnp.zeros(matrix.num_rows, jnp.float32),
+                         jnp.zeros(matrix.num_rows, jnp.float32))
+            y0 = zero if y is None \
+                else dd_from_f64(jnp.asarray(y, jnp.float64))
+        else:
+            def make_loop(iters: int):
+                @jax.jit
+                def run(x0, y0, op):
+                    def body(_, carry):
+                        xk, yk = carry
+                        yn = fn(op, xk, yk)
+                        # serial dependency so XLA cannot hoist or overlap
+                        return yn * scale, yn
+                    return jax.lax.fori_loop(0, iters, body, (x0, y0))
+                return run
+
+            y0 = jnp.zeros(matrix.num_rows, val_dtype) if y is None \
+                else jnp.asarray(y)
 
         def measure(lo, hi):
             run_lo, run_hi = make_loop(lo), make_loop(hi + lo)
@@ -310,7 +348,11 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
             hi2 = min(hi2, 4096)
             if hi2 > 2 * hi:
                 per_iter, out = measure(lo, hi2)
-        return BenchResult([per_iter] * repeat, metrics, out[1], protocol,
+        y_out = out[1]
+        if dd_chain is not None:
+            from ellspmv_tpu.ops.dd_vec import dd_to_f64
+            y_out = dd_to_f64(y_out)
+        return BenchResult([per_iter] * repeat, metrics, y_out, protocol,
                            hbm_peak)
 
     raise ValueError(f"unknown protocol {protocol!r}")

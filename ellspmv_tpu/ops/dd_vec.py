@@ -88,6 +88,15 @@ def dd_add(a: DDVec, b: DDVec) -> DDVec:
     return DDVec(hi, lo)
 
 
+def dd_mul(a: DDVec, b: DDVec) -> DDVec:
+    """Elementwise a * b in dd (e.g. the split-diagonal epilogue
+    d[i]*x[i], ellspmv.c:1177, on pair-carried vectors)."""
+    ph, pl = _two_prod(a.hi, b.hi)
+    pl = pl + (a.hi * b.lo + a.lo * b.hi)
+    hi = _ob(ph + pl)
+    return DDVec(hi, pl - (hi - ph))
+
+
 def dd_axpy(a: DDVec, s, b: DDVec) -> DDVec:
     """a + s*b with f64 scalar s (the CG update kernel)."""
     sh, sl = _split_scalar(s)

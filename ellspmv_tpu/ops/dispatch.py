@@ -204,3 +204,127 @@ def traceable_spmv(matrix, backend: str = "auto"):
     if isinstance(matrix, (EllMatrix, CsrMatrix, DiaMatrix)):
         return matrix, lambda m, x, y=None: spmv(m, x, y, backend="xla")
     raise TypeError(f"no traceable spmv for {type(matrix)}")
+
+
+def traceable_spmv_dd(matrix):
+    """Return (operand, fn) where ``fn(op, x: DDVec, y: DDVec|None) ->
+    DDVec`` runs the fp64 SpMV entirely on double-double (f32 hi/lo)
+    vector pairs — this framework's native f64 carrier (the same
+    representation `models.solvers.cg_dd` keeps end-to-end, and the one
+    the dd kernels use internally). Iterating `y := A*x + y` through this
+    form moves exactly the same bytes per element as f64 (a pair is
+    8 B/elem) but never crosses the emulated-f64 boundary between
+    iterations. Returns None when the matrix has no dd Pallas plan."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    on_tpu = (jax.devices()[0].platform == "tpu"
+              or bool(os.environ.get("ELLSPMV_TPU_PALLAS_INTERPRET")))
+    if not on_tpu:
+        return None
+    from ellspmv_tpu.ops.dd_vec import DDVec, dd_add, dd_mul
+
+    def _pair_const(arr):
+        """f64 host array -> (hi, lo) f32 device pair (split once)."""
+        a = np.asarray(arr, np.float64)
+        hi = a.astype(np.float32)
+        return (jnp.asarray(hi),
+                jnp.asarray((a - hi.astype(np.float64)).astype(np.float32)))
+
+    if isinstance(matrix, EllMatrix):
+        vals = matrix.values
+        if (isinstance(vals, jax.core.Tracer)
+                or np.asarray(vals).dtype != np.float64):
+            return None
+        from ellspmv_tpu.ops import ell_pallas
+        dp = ell_pallas.get_plan(matrix)
+        if dp is None or not dp.dd:
+            return None
+        n, m = matrix.num_rows, matrix.num_columns
+        if matrix.diag is not None and min(n, m) != n:
+            return None     # epilogue below assumes a full-length diagonal
+        diag_pair = (None if matrix.diag is None
+                     else _pair_const(np.asarray(matrix.diag)[:n]))
+
+        def fn_ell(op, x, y=None):
+            dp_, dpair = op
+            yh, yl = dp_.apply_pair(x.hi, x.lo)
+            out = DDVec(yh[:n], yl[:n])
+            if dpair is not None:
+                # split-diagonal epilogue d[i]*x[i] (ellspmv.c:1177) in dd
+                xi = jnp.minimum(jnp.arange(n), max(m - 1, 0))
+                out = dd_add(out, dd_mul(DDVec(*dpair),
+                                         DDVec(x.hi[xi], x.lo[xi])))
+            return out if y is None else dd_add(out, y)
+
+        return (dp, diag_pair), fn_ell
+
+    if isinstance(matrix, SellMatrix):
+        # pair form only for the trivial single-bucket layout (the banded
+        # CSR fast path); the reassembling layouts would have to gather
+        # both halves — possible, but their XLA row gathers dominate anyway
+        if not matrix.trivial_reassembly:
+            return None
+        sub = traceable_spmv_dd(matrix.buckets[0])
+        if sub is None:
+            return None
+        op0, f0 = sub
+        n = matrix.num_rows
+
+        def fn_sell(op, x, y=None):
+            out = f0(op, x, None)
+            out = DDVec(out.hi[:n], out.lo[:n])
+            return out if y is None else dd_add(out, y)
+
+        return op0, fn_sell
+
+    if isinstance(matrix, CsrMatrix):
+        vals = matrix.values
+        if (isinstance(vals, jax.core.Tracer)
+                or np.asarray(vals).dtype != np.float64):
+            return None
+        n, m = matrix.num_rows, matrix.num_columns
+        if matrix.diag is not None and min(n, m) != n:
+            return None
+        from ellspmv_tpu.ops.csr_pallas import _to_sell
+        sub = traceable_spmv_dd(_to_sell(matrix))
+        if sub is None:
+            return None
+        op0, f0 = sub
+        diag_pair = (None if matrix.diag is None
+                     else _pair_const(np.asarray(matrix.diag)[:n]))
+
+        def fn_csr(op, x, y=None):
+            op0_, dpair = op
+            out = f0(op0_, x, None)
+            if dpair is not None:
+                # csrgemvsd's diagonal epilogue (csrspmv.c:1598-1629) in dd
+                xi = jnp.minimum(jnp.arange(n), max(m - 1, 0))
+                out = dd_add(out, dd_mul(DDVec(*dpair),
+                                         DDVec(x.hi[xi], x.lo[xi])))
+            return out if y is None else dd_add(out, y)
+
+        return (op0, diag_pair), fn_csr
+
+    if isinstance(matrix, DiaMatrix):
+        data = matrix.data
+        if (isinstance(data, jax.core.Tracer)
+                or np.asarray(data).dtype != np.float64):
+            return None
+        from ellspmv_tpu.ops import dia_pallas
+        dp = (dia_pallas.get_plan(matrix)
+              if dia_pallas.supported(matrix) else None)
+        if dp is None or not dp.cfg.get("dd"):
+            return None
+
+        def fn_dia(op, x, y=None):
+            yh, yl = op.apply_pair(x.hi, x.lo)
+            out = DDVec(yh, yl)
+            return out if y is None else dd_add(out, y)
+
+        return dp, fn_dia
+
+    return None

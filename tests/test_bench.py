@@ -112,6 +112,76 @@ def test_chained_traceable_pallas(monkeypatch):
     assert np.isfinite(np.asarray(res.y)).all()
 
 
+def test_traceable_spmv_dd_pair_form(monkeypatch):
+    """fp64 matrices with a dd Pallas plan expose the pair-carried form
+    (the chained protocol's zero-split/merge fast path); f32 matrices and
+    split-diagonal ones don't."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.models.generators import banded_random
+    from ellspmv_tpu.ops.dd_vec import DDVec, dd_from_f64, dd_to_f64
+    from ellspmv_tpu.ops.dispatch import traceable_spmv_dd
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+
+    coo = banded_random(640, 5, 40, seed=2)
+    x = np.random.RandomState(3).rand(640)
+    want = coo_spmv_numpy(coo, x)
+
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    pair = traceable_spmv_dd(ell)
+    assert pair is not None
+    op, fn = pair
+    got = np.asarray(dd_to_f64(fn(op, dd_from_f64(np.asarray(x)))))
+    # CPU interpret mode: XLA fuses the interpret kernel's internals and
+    # rewrites the error-free transforms (CLAUDE.md) — ~f32 accuracy here;
+    # hardware keeps the dd contract
+    assert np.allclose(got, want, rtol=1e-4)
+    # y accumulates in dd
+    got2 = np.asarray(dd_to_f64(fn(op, dd_from_f64(np.asarray(x)),
+                                   dd_from_f64(np.asarray(want)))))
+    assert np.allclose(got2, 2 * want, rtol=1e-4)
+
+    assert traceable_spmv_dd(
+        ell_from_coo(coo, value_dtype=np.float32)) is None
+
+    # split diagonal: epilogue runs in dd on the pair
+    ellsd = ell_from_coo(coo, separate_diagonal=True,
+                         value_dtype=np.float64)
+    opsd, fnsd = traceable_spmv_dd(ellsd)
+    gotsd = np.asarray(dd_to_f64(fnsd(opsd, dd_from_f64(np.asarray(x)))))
+    assert np.allclose(gotsd, want, rtol=1e-4)
+
+    # CSR routes through the trivial single-bucket SELL repack
+    from ellspmv_tpu.formats.csr import csr_from_coo
+    csr = csr_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    paircsr = traceable_spmv_dd(csr)
+    if paircsr is not None:
+        opc, fnc = paircsr
+        gotc = np.asarray(dd_to_f64(fnc(opc, dd_from_f64(np.asarray(x)))))
+        assert np.allclose(gotc, want, rtol=1e-4)
+
+    d = dia_from_coo(poisson2d(16), value_dtype=np.float64)
+    pair = traceable_spmv_dd(d)
+    assert pair is not None
+    opd, fnd = pair
+    xd = np.random.RandomState(4).rand(256)
+    wantd = coo_spmv_numpy(poisson2d(16), xd)
+    gotd = np.asarray(dd_to_f64(fnd(opd, dd_from_f64(np.asarray(xd)))))
+    assert np.allclose(gotd, wantd, rtol=1e-4)
+
+
+def test_chained_dd_carry(monkeypatch):
+    """The chained protocol carries dd pairs for f64 Pallas-planned
+    matrices: the timed loop never converts to f64 between iterations."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    coo = poisson2d(16)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    res = benchmark_spmv(None, ell, np.ones(256), repeat=3, warmup=1,
+                         protocol="chained")
+    assert res.best > 0
+    y = np.asarray(res.y)
+    assert y.dtype == np.float64 and np.isfinite(y).all()
+
+
 def test_fma_probe_false_on_cpu():
     from ellspmv_tpu.ops.ell_pallas import fma_contraction_available
     assert fma_contraction_available() is False
