@@ -76,6 +76,8 @@ def main() -> int:
         widen = None
         if len(parts) > 1 and parts[1].startswith("w"):
             widen = ell.rowsize * int(parts[1][1:])
+        elif len(parts) > 1 and parts[1].startswith("s"):
+            widen = int(parts[1][1:])      # absolute slot count
         e2 = ell if key == "rank" else plan_mod.rebucket_slots(
             ell, key=key, widen_to=widen)
         kw = {}

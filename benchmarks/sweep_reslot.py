@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--nnz", type=int, default=16)
     ap.add_argument("--bw", type=int, default=512)
     ap.add_argument("--widths", default="16,24,32,48,64")
+    ap.add_argument("--key", default="offset",
+                    help="rebucket key: offset | column | block")
+    ap.add_argument("--row-tile", type=int, default=0,
+                    help="force a row tile (slope-1) instead of best_plan")
     ap.add_argument("--repeat", type=int, default=16)
     args = ap.parse_args()
 
@@ -47,8 +51,11 @@ def main():
     for w in [int(s) for s in args.widths.split(",")]:
         t0 = time.perf_counter()
         ell = (ell0 if w <= ell0.rowsize else
-               plan_mod.rebucket_slots(ell0, key="offset", widen_to=w))
-        plan = plan_mod.best_plan(ell, value_dtype=np.float64)
+               plan_mod.rebucket_slots(ell0, key=args.key, widen_to=w))
+        plan = (plan_mod.build_plan(ell, row_tile=args.row_tile, slope=1,
+                                    value_dtype=np.float64)
+                if args.row_tile else
+                plan_mod.best_plan(ell, value_dtype=np.float64))
         if plan is None:
             print(f"S={w}: no plan", flush=True)
             continue

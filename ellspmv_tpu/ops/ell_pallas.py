@@ -299,21 +299,44 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     trip = KS_eff
                     if ks_slot is not None and _ABLATE != "noscan":
                         trip = ks_slot[s]
-                    parts = []
-                    for k in range(trip):
-                        hit = q == jnp.int32(k)
-                        parts.append((
-                            jnp.where(hit, gather(op(xw, jnp.int32(k)),
-                                                  lane), jnp.float32(0)),
-                            jnp.where(hit, gather(op(xwl, jnp.int32(k)),
-                                                  lane), jnp.float32(0))))
-                    while len(parts) > 1:
-                        nxt_ = [(a[0] + b[0], a[1] + b[1]) for a, b in
-                                zip(parts[0::2], parts[1::2])]
-                        if len(parts) % 2:
-                            nxt_.append(parts[-1])
-                        parts = nxt_
-                    xg_h, xg_l = parts[0] if parts else init
+                    if trip == 1:
+                        # span-1 slot: every real entry's q is 0 and
+                        # padding multiplies v=0, so the hit mask is the
+                        # identity — skip the compare+selects entirely
+                        xg_h = gather(op(xw, jnp.int32(0)), lane)
+                        xg_l = gather(op(xwl, jnp.int32(0)), lane)
+                    else:
+                        L = -(-(trip + G - 1) // 8) * 8
+                        if slope and L <= 16:
+                            # hoist ONE dynamic window slice per slot
+                            # (rounded to the 8-sublane rule; the scratch
+                            # carries 8 slack rows) — steps then take
+                            # static sub-slices instead of paying a
+                            # dynamic slice each. Gated to tiny slices:
+                            # a big G would hoist a register-busting
+                            # (G+trip, 128) value.
+                            Wh = xw[pl.ds(sbase + qb, L), :]
+                            Wl = xwl[pl.ds(sbase + qb, L), :]
+                            oph = lambda k: Wh[k:k + G]
+                            opl = lambda k: Wl[k:k + G]
+                        else:
+                            oph = lambda k: op(xw, jnp.int32(k))
+                            opl = lambda k: op(xwl, jnp.int32(k))
+                        parts = []
+                        for k in range(trip):
+                            hit = q == jnp.int32(k)
+                            parts.append((
+                                jnp.where(hit, gather(oph(k), lane),
+                                          jnp.float32(0)),
+                                jnp.where(hit, gather(opl(k), lane),
+                                          jnp.float32(0))))
+                        while len(parts) > 1:
+                            nxt_ = [(a[0] + b[0], a[1] + b[1]) for a, b in
+                                    zip(parts[0::2], parts[1::2])]
+                            if len(parts) % 2:
+                                nxt_.append(parts[-1])
+                            parts = nxt_
+                        xg_h, xg_l = parts[0] if parts else init
                 elif chunked:
                     xg_h, xg_l = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
@@ -345,20 +368,30 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     trip = KS_eff
                     if ks_slot is not None and _ABLATE != "noscan":
                         trip = ks_slot[s]
-                    parts = []
-                    for k in range(trip):
-                        parts.append(jnp.where(
-                            q == jnp.int32(k),
-                            gather(op(xw, jnp.int32(k)), lane),
-                            jnp.float32(0)))
-                    while len(parts) > 1:
-                        nxt_ = [a + b for a, b in
-                                zip(parts[0::2], parts[1::2])]
-                        if len(parts) % 2:
-                            nxt_.append(parts[-1])
-                        parts = nxt_
-                    xg = parts[0] if parts else jnp.zeros((G, 128),
-                                                          jnp.float32)
+                    if trip == 1:
+                        # span-1 slot: identity hit mask (see dd path)
+                        xg = gather(op(xw, jnp.int32(0)), lane)
+                    else:
+                        L = -(-(trip + G - 1) // 8) * 8
+                        if slope and L <= 16:
+                            W1 = xw[pl.ds(sbase + qb, L), :]
+                            op1 = lambda k: W1[k:k + G]
+                        else:
+                            op1 = lambda k: op(xw, jnp.int32(k))
+                        parts = []
+                        for k in range(trip):
+                            parts.append(jnp.where(
+                                q == jnp.int32(k),
+                                gather(op1(k), lane),
+                                jnp.float32(0)))
+                        while len(parts) > 1:
+                            nxt_ = [a + b for a, b in
+                                    zip(parts[0::2], parts[1::2])]
+                            if len(parts) % 2:
+                                nxt_.append(parts[-1])
+                            parts = nxt_
+                        xg = parts[0] if parts else jnp.zeros(
+                            (G, 128), jnp.float32)
                 elif chunked:
                     xg = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
@@ -703,7 +736,12 @@ def get_plan(ell, **kw):
         if S < u <= min(4 * S, cap):
             candidates.append(("offset", u))
     candidates += [("offset", min(3 * S // 2, cap)),
-                   ("offset", min(2 * S, cap)), ("column", None),
+                   ("offset", min(2 * S, cap)),
+                   # gather-block-aligned capacities: the banded-RANDOM
+                   # shape (no diagonal structure, ks stuck ~4 under
+                   # offset quantiles) drops to ks ~1.3 here
+                   ("block", min(3 * S // 2, cap)),
+                   ("block", min(2 * S, cap)), ("column", None),
                    ("column", min(2 * S, cap)),
                    ("offset", min(4 * S, cap)),
                    ("column", min(4 * S, cap))]

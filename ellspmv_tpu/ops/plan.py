@@ -411,6 +411,14 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
     key='column': bucket by col alone (random/power-law matrices — slot s
     then only scans its own column band, so a resident-x scan plan costs
     ~K128 total steps per tile instead of S*K128).
+    key='block': bucket by the 128-block of the slope-1 REBASED column
+    (col - 128*(row//128)) with slot capacities proportional to block
+    mass. This aligns bucket boundaries with the kernel's gather
+    granularity: a slot's window is one 128-block (two when a row
+    overflows its block's capacity and spills into the right
+    neighbour's slots), so ks_mean approaches 1 — the right shape for
+    banded-RANDOM matrices, where offset quantile buckets still span
+    several blocks (ks ~4) because entries have no diagonal structure.
 
     `widen_to` pads the slot space to S_out > S: full rows have no slack
     for bucketing (every slot is taken, so slots stay rank-ordered and
@@ -422,7 +430,8 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
 
     S = ell.rowsize
     S_out = S if widen_to is None else max(int(widen_to), S)
-    if S < 1 or (key == "offset" and ell.num_rows != ell.num_columns):
+    if S < 1 or (key in ("offset", "block")
+                 and ell.num_rows != ell.num_columns):
         return ell
     if S_out == S and S <= 1:
         return ell
@@ -434,14 +443,44 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
     if S_out == S and (cnt >= S).all():
         return ell        # all rows full: any in-place map is the identity
     rows = np.arange(n_pad, dtype=np.int64)[:, None]
-    offs = cols.astype(np.int64) - (rows if key == "offset" else 0)
+    if key == "block":
+        # 128-block index of the slope-1 rebased column (arithmetic shift
+        # = floor division, so negative rebased columns bucket correctly)
+        offs = (cols.astype(np.int64) - ((rows >> 7) << 7)) >> 7
+    else:
+        offs = cols.astype(np.int64) - (rows if key == "offset" else 0)
     sample = offs[real]
     if sample.size == 0:
         return ell
     if sample.size > 4_000_000:
         sample = sample[:: sample.size // 4_000_000]
     uniq, counts = np.unique(sample, return_counts=True)
-    if len(uniq) <= S_out:
+    if key == "block":
+        if len(uniq) > S_out:
+            return ell    # band wider than the slot space can split
+        # capacity-proportional slot ranges per block (each >= 1); a block
+        # with capacity C_b gets slots [base_b, base_b + C_b) and per-row
+        # overflow spills into the next block's range (ks 2, not 4+)
+        quota = counts * (S_out / counts.sum())
+        cap = np.maximum(1, np.floor(quota).astype(np.int64))
+        spare = S_out - int(cap.sum())
+        order = np.argsort(-(quota - np.floor(quota)))
+        i = 0
+        while spare > 0:          # hand leftovers to largest remainders
+            cap[order[i % len(cap)]] += 1
+            spare -= 1
+            i += 1
+        i = len(order) - 1
+        while spare < 0:          # floors of 1 can overshoot S_out
+            j = order[i % len(order)]
+            if cap[j] > 1:
+                cap[j] -= 1
+                spare += 1
+            i -= 1
+        base = np.concatenate([[0], np.cumsum(cap)[:-1]])
+        idx = np.clip(np.searchsorted(uniq, offs), 0, len(uniq) - 1)
+        ideal = base[idx]
+    elif len(uniq) <= S_out:
         # few distinct diagonals (stencils): one slot per diagonal, exact
         ideal = np.searchsorted(uniq, offs).astype(np.int64)
         ideal = np.minimum(ideal, S_out - 1)
@@ -478,3 +517,5 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
     return EllMatrix(colidx=new_cols, values=new_vals, diag=ell.diag,
                      num_rows=ell.num_rows, num_columns=ell.num_columns,
                      num_nonzeros=ell.num_nonzeros)
+
+

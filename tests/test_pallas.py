@@ -373,3 +373,26 @@ def test_dia_pallas_infeasible_span(monkeypatch):
     dia = dia_from_coo(coo, value_dtype=np.float64).device_put()
     monkeypatch.setattr(plan_mod, "VMEM_BUDGET_BYTES", 4_000)
     assert dia_pallas.get_plan(dia) is None
+
+
+def test_rebucket_block_widened():
+    """Gather-block-aligned bucketing (key='block'): semantics preserved
+    and the mean per-slot gather span beats offset-quantile buckets at the
+    same widening on a banded-RANDOM matrix (the adversarial config2
+    class, where entries have no diagonal structure)."""
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    from tests.conftest import assert_fp64_close
+    coo = banded_random(20_000, 16, 512, seed=0)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    w = 2 * ell.rowsize
+    e_blk = rebucket_slots(ell, key="block", widen_to=w)
+    e_off = rebucket_slots(ell, key="offset", widen_to=w)
+    assert e_blk is not ell and e_blk.rowsize == w
+    x = np.random.RandomState(1).rand(ell.num_columns)
+    assert_fp64_close(ell_spmv_numpy(e_blk, x), ell_spmv_numpy(ell, x))
+    p_blk = plan_mod.best_plan(e_blk, value_dtype=np.float64)
+    p_off = plan_mod.best_plan(e_off, value_dtype=np.float64)
+    assert p_blk is not None and p_off is not None
+    ks_blk = float(p_blk.qb[:, 1, :].mean())
+    ks_off = float(p_off.qb[:, 1, :].mean())
+    assert ks_blk < ks_off, (ks_blk, ks_off)
