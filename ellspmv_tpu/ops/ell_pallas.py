@@ -55,6 +55,9 @@ def _slots_unrolled(S: int, KS: int) -> bool:
 # gather (uses the window row directly); "noscan" does a single scan step
 # per slot; "nofma" (dd) replaces the compensated FMA with a plain f32 one.
 _ABLATE = os.environ.get("ELLSPMV_TPU_ABLATE", "")
+# Unroll the supertile's subtile loop statically (sub*S slot bodies of
+# straight-line code) instead of a dynamic fori over shared bodies.
+_SUB_STATIC = os.environ.get("ELLSPMV_TPU_SUB_STATIC", "0") != "0"
 
 
 def _i0():
@@ -168,12 +171,21 @@ def fma_contraction_available() -> bool:
 def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                  slope: int = 0, unroll: bool = False,
                  fastdd: bool = False, static: bool = False,
-                 ks_slot: tuple | None = None, nacc: int = 1):
-    """Kernel body. Tensor operands are 4D (1, S, G, 128) per-tile blocks so
-    slot selection indexes a leading (untiled) dim; the x window is
-    double-buffered through a (2, K128, W) scratch — or, for static
+                 ks_slot: tuple | None = None, nacc: int = 1,
+                 sub: int = 1):
+    """Kernel body. Tensor operands are 4D (1, S*sub, G, 128) per-tile
+    blocks so slot selection indexes a leading (untiled) dim; the x window
+    is double-buffered through a (2, K128, W) scratch — or, for static
     (resident-x) plans, the whole padded x image is DMA'd once into a
-    single (K128, W) scratch at grid step 0 and reused by every tile."""
+    single (K128, W) scratch at grid step 0 and reused by every tile.
+
+    `sub` > 1 processes SUB consecutive G*128-row subtiles per grid step
+    (one shared window DMA, one grid-step's bookkeeping): per-grid-step
+    overhead measured ~230 ns on v5e dominates small-tile kernels, while
+    gathers on operands taller than ~16 sublanes cost ~4.5x per element —
+    supertiling keeps the (G,128) gather granularity AND the big-tile
+    amortization. Subtile j's slot s lives at operand row j*S + s; its
+    window base qb is pre-shifted to the supertile's window."""
 
     def kernel(wb_ref, qb_ref, lcol_ref, *rest):
         if dd:
@@ -228,7 +240,10 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
         gather = ((lambda opnd, lane: opnd) if _ABLATE == "nogather"
                   else _lane_gather)
 
-        def slot_step(s, acc, acc_l):
+        def slot_step(s, s_stat, acc, acc_l):
+            # `s` indexes the operand refs (j*S + s_stat under supertiling,
+            # possibly traced); `s_stat` is the static per-subtile slot for
+            # ks_slot lookups, or None in the dynamic-slot loop.
             idx = lcol_ref[0, s]
             if idx.ndim == 3:         # dynamic s: (1, G, 128) slice
                 idx = idx[0]
@@ -297,8 +312,9 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     # so masked steps sum in a tree (no serial select
                     # chain for the scheduler to stall on)
                     trip = KS_eff
-                    if ks_slot is not None and _ABLATE != "noscan":
-                        trip = ks_slot[s]
+                    if (ks_slot is not None and s_stat is not None
+                            and _ABLATE != "noscan"):
+                        trip = ks_slot[s_stat]
                     if trip == 1:
                         # span-1 slot: every real entry's q is 0 and
                         # padding multiplies v=0, so the hit mask is the
@@ -366,8 +382,9 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
 
                 if unroll:
                     trip = KS_eff
-                    if ks_slot is not None and _ABLATE != "noscan":
-                        trip = ks_slot[s]
+                    if (ks_slot is not None and s_stat is not None
+                            and _ABLATE != "noscan"):
+                        trip = ks_slot[s_stat]
                     if trip == 1:
                         # span-1 slot: identity hit mask (see dd path)
                         xg = gather(op(xw, jnp.int32(0)), lane)
@@ -407,40 +424,79 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 return acc + v * xg, acc_l
 
         zero = lambda: jnp.zeros((G, 128), jnp.float32)
-        acc = zero()
-        acc_l = zero() if dd else jnp.float32(0)
-        if _slots_unrolled(S, KS):
-            # static slot loop; `nacc` independent accumulators break the
-            # serial per-slot (dd-renorm) dependency chain so slots
-            # pipeline against each other
-            na = max(1, min(nacc, S))
-            accs = [(zero(), zero() if dd else jnp.float32(0))
-                    for _ in range(na)]
-            for s in range(S):
-                accs[s % na] = slot_step(s, *accs[s % na])
-            acc, acc_l = accs[0]
-            for a2, a2l in accs[1:]:
+
+        def subtile(jS):
+            acc = zero()
+            acc_l = zero() if dd else jnp.float32(0)
+            if _slots_unrolled(S, KS):
+                # static slot loop; `nacc` independent accumulators break
+                # the serial per-slot (dd-renorm) dependency chain so
+                # slots pipeline against each other
+                na = max(1, min(nacc, S))
+                accs = [(zero(), zero() if dd else jnp.float32(0))
+                        for _ in range(na)]
+                for s in range(S):
+                    accs[s % na] = slot_step(
+                        jS + s if sub > 1 else s, s, *accs[s % na])
+                acc, acc_l = accs[0]
+                for a2, a2l in accs[1:]:
+                    if dd:
+                        acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                    else:
+                        acc = acc + a2
+            else:
+                # wide slot spaces (split long rows, widened column
+                # buckets): a dynamic slot loop keeps the compiled kernel
+                # size O(1) in S
+                # i32 bounds: python-int bounds give an i64 induction
+                # var under x64, and i64->i32 converts loop forever in
+                # Mosaic's lowering fallback
+                acc, acc_l = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(S),
+                    lambda s, c: slot_step(jS + s, None, *c),
+                    (acc, acc_l))
+            return acc, acc_l
+
+        if sub == 1:
+            acc, acc_l = subtile(0)
+            if dd:
+                yh_ref[0, :, :] = acc
+                yl_ref[0, :, :] = acc_l
+            else:
+                y_ref[0, :, :] = acc
+        elif _SUB_STATIC and sub * S <= 192:
+            # static subtile unroll: refs get static indices (cheapest
+            # address paths) at sub*S slot bodies of compiled code
+            for j in range(sub):
+                acc, acc_l = subtile(j * S)
                 if dd:
-                    acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                    yh_ref[0, j * G:(j + 1) * G, :] = acc
+                    yl_ref[0, j * G:(j + 1) * G, :] = acc_l
                 else:
-                    acc = acc + a2
+                    y_ref[0, j * G:(j + 1) * G, :] = acc
         else:
-            # wide slot spaces (split long rows, widened column buckets):
-            # a dynamic slot loop keeps the compiled kernel size O(1) in S
-            acc, acc_l = jax.lax.fori_loop(
-                0, S, lambda s, c: slot_step(s, *c), (acc, acc_l))
-        if dd:
-            yh_ref[0, :, :] = acc
-            yl_ref[0, :, :] = acc_l
-        else:
-            y_ref[0, :, :] = acc
+            # dynamic subtile loop: slot bodies are generated once and
+            # shared by all SUB subtiles (compiled size stays O(S))
+            def sub_body(j, carry):
+                acc, acc_l = subtile(j * jnp.int32(S))
+                r = pl.ds(j * jnp.int32(G), G)
+                if dd:
+                    yh_ref[0, r, :] = acc
+                    yl_ref[0, r, :] = acc_l
+                else:
+                    y_ref[0, r, :] = acc
+                return carry
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(sub), sub_body,
+                              jnp.int32(0))
 
     return kernel
 
 
-def _tile_specs(S, G, n_tensor_inputs, n_outputs):
+def _tile_specs(S, G, n_tensor_inputs, n_outputs, sub=1):
     """Specs shared by both kernels: SMEM qb block, 4D per-tile operand
-    blocks, ANY-space x. (wbase128 is a scalar-prefetch arg, not listed.)"""
+    blocks, ANY-space x. (wbase128 is a scalar-prefetch arg, not listed.)
+    Under supertiling the slot dim carries sub*S rows and the y tile
+    sub*G sublane groups."""
     def im3(i, *_):
         return (i, _i0(), _i0())
 
@@ -448,14 +504,14 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
         return (i, _i0(), _i0(), _i0())
 
     in_specs = [
-        pl.BlockSpec((1, 2, S), im3, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2, sub * S), im3, memory_space=pltpu.SMEM),
     ] + [
-        pl.BlockSpec((1, S, G, 128), im4, memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, sub * S, G, 128), im4, memory_space=pltpu.VMEM)
         for _ in range(n_tensor_inputs)
     ] + [
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    outs = [pl.BlockSpec((1, G, 128), im3, memory_space=pltpu.VMEM)
+    outs = [pl.BlockSpec((1, sub * G, 128), im3, memory_space=pltpu.VMEM)
             for _ in range(n_outputs)]
     return in_specs, (outs if n_outputs > 1 else outs[0])
 
@@ -463,11 +519,11 @@ def _tile_specs(S, G, n_tensor_inputs, n_outputs):
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
                                     "unroll", "static", "ks_slot", "nacc",
-                                    "interpret"))
+                                    "sub", "interpret"))
 def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
-             unroll=False, static=False, ks_slot=None, nacc=1,
+             unroll=False, static=False, ks_slot=None, nacc=1, sub=1,
              interpret=False):
-    in_specs, out_specs = _tile_specs(S, G, 2, 1)
+    in_specs, out_specs = _tile_specs(S, G, 2, 1, sub=sub)
     nbuf = 1 if static else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -484,9 +540,9 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=False, slope=slope,
                      unroll=unroll, static=static, ks_slot=ks_slot,
-                     nacc=nacc),
+                     nacc=nacc, sub=sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32),
         interpret=interpret,
     )(wbase128, qb, lcol, vals, x2d)
 
@@ -494,11 +550,11 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
 @functools.partial(jax.jit,
                    static_argnames=("S", "G", "KS", "K128", "T", "slope",
                                     "unroll", "fastdd", "static",
-                                    "ks_slot", "nacc", "interpret"))
+                                    "ks_slot", "nacc", "sub", "interpret"))
 def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
             S, G, KS, K128, T, slope=0, unroll=False, fastdd=False,
-            static=False, ks_slot=None, nacc=1, interpret=False):
-    in_specs, out_specs = _tile_specs(S, G, 3, 2)
+            static=False, ks_slot=None, nacc=1, sub=1, interpret=False):
+    in_specs, out_specs = _tile_specs(S, G, 3, 2, sub=sub)
     in_specs.insert(-1, pl.BlockSpec(memory_space=pl.ANY))  # x lo halves
     nbuf = 1 if static else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -518,10 +574,10 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
     return pl.pallas_call(
         _make_kernel(S, G, KS, K128, T, dd=True, slope=slope,
                      unroll=unroll, fastdd=fastdd, static=static,
-                     ks_slot=ks_slot, nacc=nacc),
+                     ks_slot=ks_slot, nacc=nacc, sub=sub),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32)],
         interpret=interpret,
     )(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l)
 
@@ -531,7 +587,58 @@ import collections
 PlanCfg = collections.namedtuple(
     "PlanCfg",
     "S G KS K128 T nx128 lead slope static dd unroll fastdd ks_slot nacc "
-    "interpret")
+    "sub n_out interpret")
+
+
+def _super_k128(plan, sub):
+    """Shared-window height (128-rows, 8-aligned) if `sub` consecutive
+    tiles fold into one grid step."""
+    T = plan.num_tiles
+    T_s = -(-T // sub)
+    pad = T_s * sub - T
+    wb = np.asarray(plan.wbase128, np.int64)
+    if pad:
+        wb = np.concatenate([wb, np.repeat(wb[-1:], pad)])
+    wbg = wb.reshape(T_s, sub)
+    k = int(((wbg + plan.K128) - wbg.min(axis=1)[:, None]).max())
+    return -(-k // 8) * 8
+
+
+def _superize(plan, sub):
+    """Fold `sub` consecutive tiles into one grid step: shared x window
+    (base = min of the subtiles' bases, height = the max joint span), qb
+    re-based to the shared window, operands concatenated subtile-major
+    so subtile j's slot s sits at operand row j*S + s."""
+    T, S, G = plan.num_tiles, plan.rowsize, plan.G
+    T_s = -(-T // sub)
+    pad = T_s * sub - T
+    wb = np.asarray(plan.wbase128, np.int64)
+    qb = np.asarray(plan.qb, np.int64)            # (T, 2, S)
+    lcol, vals = plan.lcol, plan.vals
+    if pad:
+        wb = np.concatenate([wb, np.repeat(wb[-1:], pad)])
+        qbp = np.zeros((pad, 2, S), qb.dtype)
+        qbp[:, 1, :] = 1
+        qb = np.concatenate([qb, qbp])
+        # padding tiles must decode to local column 0 (int8 stores biased)
+        fill = -128 if lcol.dtype == np.int8 else 0
+        lcol = np.concatenate(
+            [lcol, np.full((pad,) + lcol.shape[1:], fill, lcol.dtype)])
+        vals = np.concatenate(
+            [vals, np.zeros((pad,) + vals.shape[1:], vals.dtype)])
+    wbg = wb.reshape(T_s, sub)
+    wbs = wbg.min(axis=1)
+    K128_s = int(((wbg + plan.K128) - wbs[:, None]).max())
+    K128_s = -(-K128_s // 8) * 8                  # <= nx128 (see _windows)
+    wbs = np.minimum(wbs, max(plan.nx128 - K128_s, 0))
+    shift = wbg - wbs[:, None]                    # (T_s, sub) >= 0
+    qb2 = qb.reshape(T_s, sub, 2, S).copy()
+    qb2[:, :, 0, :] += shift[:, :, None]
+    qb_s = np.ascontiguousarray(qb2.transpose(0, 2, 1, 3)).reshape(
+        T_s, 2, sub * S)
+    return (T_s, wbs.astype(np.int32), qb_s.astype(np.int32),
+            lcol.reshape(T_s, sub * S, G, 128),
+            vals.reshape(T_s, sub * S, G, 128), K128_s)
 
 
 class DevicePlan:
@@ -567,24 +674,49 @@ class DevicePlan:
             # nacc=1 measured best on v5e across poisson/banded/mesh
             # (sweep 2026-08-17: 97.8% vs 85% roofline on poisson)
             nacc = int(os.environ.get("ELLSPMV_TPU_NACC", "1"))
-            self.cfg = PlanCfg(plan.rowsize, plan.G, plan.KS, plan.K128,
-                               plan.num_tiles, plan.nx128, plan.lead,
+            T, S, G = plan.num_tiles, plan.rowsize, plan.G
+            # supertiling: amortize the measured ~230 ns/grid-step cost
+            # without leaving the cheap (G,128) gather regime; biggest
+            # SUB whose operand blocks + shared window still fit VMEM
+            sub = int(os.environ.get("ELLSPMV_TPU_SUB", "0"))
+            if sub <= 0:
+                sub = 1
+                if not plan.static_window and T >= 4:
+                    for cand in (8, 4, 2):
+                        if cand > T:
+                            continue
+                        k128c = _super_k128(plan, cand)
+                        if plan_mod._vmem_bytes(
+                                S * cand, G, plan.KS, k128c,
+                                dd) > plan_mod.VMEM_BUDGET_BYTES:
+                            continue
+                        sub = cand
+                        break
+            sub = max(1, min(sub, max(T, 1)))
+            K128 = plan.K128
+            if sub > 1:
+                (T, wbs, qb_s, lcol4, vals4, K128) = _superize(plan, sub)
+                self.wbase128 = jnp.asarray(wbs)                # (T_s,)
+                self.qb = jnp.asarray(qb_s)                     # (T_s,2,sub*S)
+            else:
+                self.wbase128 = jnp.asarray(plan.wbase128)      # (T,)
+                self.qb = jnp.asarray(plan.qb)                  # (T,2,S)
+                lcol4 = plan.lcol.reshape(T, S, G, 128)
+                vals4 = plan.vals.reshape(T, S, G, 128)
+            self.cfg = PlanCfg(S, G, plan.KS, K128,
+                               T, plan.nx128, plan.lead,
                                plan.slope, bool(plan.static_window),
                                dd, unroll, fastdd, ks_slot, nacc,
-                               interpret)
-            T, S, G = plan.num_tiles, plan.rowsize, plan.G
-            self.wbase128 = jnp.asarray(plan.wbase128)          # (T,)
-            self.qb = jnp.asarray(plan.qb)                      # (T,2,S)
-            self.lcol = jnp.asarray(plan.lcol.reshape(T, S, G, 128))
+                               sub, plan.num_tiles * G * 128, interpret)
+            self.lcol = jnp.asarray(lcol4)
             if dd:
-                vh = plan.vals.astype(np.float32)
-                vl = (plan.vals - vh.astype(np.float64)).astype(np.float32)
-                self.vals = (jnp.asarray(vh.reshape(T, S, G, 128)),
-                             jnp.asarray(vl.reshape(T, S, G, 128)))
+                vh = vals4.astype(np.float32)
+                vl = (vals4 - vh.astype(np.float64)).astype(np.float32)
+                self.vals = (jnp.asarray(vh), jnp.asarray(vl))
             else:
-                v0 = (plan.vals if plan.vals.dtype == _BF16
-                      else plan.vals.astype(np.float32))
-                self.vals = (jnp.asarray(v0.reshape(T, S, G, 128)),)
+                v0 = (vals4 if vals4.dtype == _BF16
+                      else vals4.astype(np.float32))
+                self.vals = (jnp.asarray(v0),)
         else:
             self.plan = None
             self.cfg = _cfg
@@ -606,11 +738,12 @@ class DevicePlan:
                              self.vals[0], self.vals[1], x,
                              c.S, c.G, c.KS, c.K128, c.T,
                              c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                             c.static, c.ks_slot, c.nacc, c.interpret)
+                             c.static, c.ks_slot, c.nacc, c.sub,
+                             c.n_out, c.interpret)
         return _f32_apply(self.wbase128, self.qb, self.lcol, self.vals[0],
                           x, c.S, c.G, c.KS, c.K128, c.T,
                           c.nx128, c.lead, c.slope, c.unroll, c.static,
-                          c.ks_slot, c.nacc, c.interpret)
+                          c.ks_slot, c.nacc, c.sub, c.n_out, c.interpret)
 
     def apply_pair(self, xh, xl):
         """fp64 SpMV on pre-split (hi, lo) f32 vectors, returning the
@@ -622,7 +755,8 @@ class DevicePlan:
                               self.vals[0], self.vals[1], xh, xl,
                               c.S, c.G, c.KS, c.K128, c.T,
                               c.nx128, c.lead, c.slope, c.unroll, c.fastdd,
-                              c.static, c.ks_slot, c.nacc, c.interpret)
+                              c.static, c.ks_slot, c.nacc, c.sub,
+                              c.n_out, c.interpret)
 
 
 def _dp_flatten(dp):
@@ -639,53 +773,60 @@ jax.tree_util.register_pytree_node(DevicePlan, _dp_flatten, _dp_unflatten)
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
                                              "unroll", "static", "ks_slot",
-                                             "nacc", "interpret"))
+                                             "nacc", "sub", "n_out",
+                                             "interpret"))
 def _f32_apply(wbase128, qb, lcol, vals, x, S, G, KS, K128, T, nx128,
                lead=0, slope=0, unroll=False, static=False, ks_slot=None,
-               nacc=1, interpret=False):
+               nacc=1, sub=1, n_out=None, interpret=False):
     x = x.astype(jnp.float32)
     x2d = jnp.pad(x, (lead * 128,
                       nx128 * 128 - lead * 128 - x.shape[0])
                   ).reshape(nx128, 128)
     y = _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope,
-                 unroll, static, ks_slot, nacc, interpret)
-    return y.reshape(-1)
+                 unroll, static, ks_slot, nacc, sub, interpret)
+    y = y.reshape(-1)
+    # supertile padding may append dummy rows; keep the plan's contract
+    return y if n_out is None else y[:n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
                                              "unroll", "fastdd", "static",
-                                             "ks_slot", "nacc",
-                                             "interpret"))
+                                             "ks_slot", "nacc", "sub",
+                                             "n_out", "interpret"))
 def _dd_apply(wbase128, qb, lcol, vals_h, vals_l, x, S, G, KS, K128, T,
               nx128, lead=0, slope=0, unroll=False, fastdd=False,
-              static=False, ks_slot=None, nacc=1, interpret=False):
+              static=False, ks_slot=None, nacc=1, sub=1, n_out=None,
+              interpret=False):
     xp = jnp.pad(x, (lead * 128, nx128 * 128 - lead * 128 - x.shape[0]))
     xh = xp.astype(jnp.float32)
     xl = (xp - xh.astype(xp.dtype)).astype(jnp.float32)
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      xh.reshape(nx128, 128), xl.reshape(nx128, 128),
                      S, G, KS, K128, T, slope, unroll, fastdd, static,
-                     ks_slot, nacc, interpret)
-    return (yh.reshape(-1).astype(jnp.float64)
-            + yl.reshape(-1).astype(jnp.float64))
+                     ks_slot, nacc, sub, interpret)
+    y = (yh.reshape(-1).astype(jnp.float64)
+         + yl.reshape(-1).astype(jnp.float64))
+    return y if n_out is None else y[:n_out]
 
 
 @functools.partial(jax.jit, static_argnames=("S", "G", "KS", "K128", "T",
                                              "nx128", "lead", "slope",
                                              "unroll", "fastdd", "static",
-                                             "ks_slot", "nacc",
-                                             "interpret"))
+                                             "ks_slot", "nacc", "sub",
+                                             "n_out", "interpret"))
 def _dd_apply_pair(wbase128, qb, lcol, vals_h, vals_l, xh, xl,
                    S, G, KS, K128, T, nx128, lead=0, slope=0, unroll=False,
                    fastdd=False, static=False, ks_slot=None, nacc=1,
-                   interpret=False):
+                   sub=1, n_out=None, interpret=False):
     pad = (lead * 128, nx128 * 128 - lead * 128 - xh.shape[0])
     yh, yl = _run_dd(wbase128, qb, lcol, vals_h, vals_l,
                      jnp.pad(xh, pad).reshape(nx128, 128),
                      jnp.pad(xl, pad).reshape(nx128, 128),
                      S, G, KS, K128, T, slope, unroll, fastdd, static,
-                     ks_slot, nacc, interpret)
+                     ks_slot, nacc, sub, interpret)
+    if n_out is not None:
+        return yh.reshape(-1)[:n_out], yl.reshape(-1)[:n_out]
     return yh.reshape(-1), yl.reshape(-1)
 
 

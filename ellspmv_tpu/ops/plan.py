@@ -107,10 +107,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _gather_penalty(G: int) -> float:
+    """Measured v5e: the dynamic lane gather stays cheap on (<=8, 128)
+    operands, ~1.8x at 16 sublanes, and ~4.5x at 32+ (2M banded ablations
+    2026-08-17: gather share 0.30 / ~0.55 / 1.35 / 1.37 ms at G=8/16/32/64
+    with identical per-row work). Keeps the planner in the cheap regime —
+    DevicePlan supertiling recovers the big-tile amortization instead."""
+    if G <= 8:
+        return 1.0
+    if G <= 16:
+        return 1.8
+    return 4.5
+
+
+def _sub_estimate(S, G, KS, K128, dd, static) -> int:
+    """Supertile factor DevicePlan will likely pick (VMEM-feasible); the
+    exact choice re-checks against the joint window at build time."""
+    if static:
+        return 1
+    for cand in (8, 4, 2):
+        if _vmem_bytes(S * cand, G, KS, K128, dd) <= VMEM_BUDGET_BYTES:
+            return cand
+    return 1
+
+
 def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
     """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
-    gather/select/FMA time, plus per-tile fixed overhead. Ranks candidate
-    tile sizes only."""
+    gather/select/FMA time, plus per-grid-step fixed overhead (amortized
+    by the supertile factor DevicePlan applies). Ranks candidate tile
+    sizes only."""
     from ellspmv_tpu.bench import calibrate
     nnz_slots = T * S * G * 128
     hbm = (nnz_slots * (value_bytes + 4)
@@ -119,14 +144,17 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
            + T * G * 128 * value_bytes)          # y
     # per scan step: one dynamic lane gather per payload at ~4 cycles per
     # (8,128) op (measured v5e; = ~12 op-units at the 3-ops/cycle VPU
-    # rate) + selects; dd pays it for hi and lo
-    gather_ops = (20 if dd else 10) * KS + (20 if dd else 2)
+    # rate) + selects; dd pays it for hi and lo; operands taller than 8
+    # sublanes lower to a slower gather form (_gather_penalty)
+    gather_ops = ((20 if dd else 10) * KS * _gather_penalty(G)
+                  + (20 if dd else 2))
     # a (G,128) op with G<8 still occupies a full (8,128) native vreg op —
     # short tiles waste sublanes, so G is floored at 8 here
     vpu = (T * S * max(G, 8) * gather_ops
            / calibrate.get("vpu_sublane_rows_per_cycle") * 8)
+    sub = _sub_estimate(S, G, KS, K128, dd, static)
     return (max(hbm / calibrate.get("hbm_bytes_per_cycle"), vpu)
-            + T * calibrate.get("tile_overhead_cycles"))
+            + -(-T // sub) * calibrate.get("tile_overhead_cycles"))
 
 
 def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:

@@ -396,3 +396,31 @@ def test_rebucket_block_widened():
     ks_blk = float(p_blk.qb[:, 1, :].mean())
     ks_off = float(p_off.qb[:, 1, :].mean())
     assert ks_blk < ks_off, (ks_blk, ks_off)
+
+
+def test_supertile_matches_single_tile():
+    """Supertiling (sub>1: SUB subtiles share one grid step + window DMA)
+    must reproduce the sub=1 results exactly on the same plan."""
+    import os
+    from ellspmv_tpu.ops.ell_pallas import DevicePlan
+    coo = banded_random(40_000, 8, 256, seed=2)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    p = plan_mod.build_plan(ell, row_tile=1024, slope=1,
+                            value_dtype=np.float64)
+    assert p is not None and p.num_tiles >= 5  # odd T: exercises padding
+    x = np.random.RandomState(3).rand(ell.num_columns)
+    os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        os.environ["ELLSPMV_TPU_SUB"] = "1"
+        y1 = np.asarray(DevicePlan(ell, p, dd=True)(x))[:coo.num_rows]
+        os.environ["ELLSPMV_TPU_SUB"] = "4"
+        dp4 = DevicePlan(ell, p, dd=True)
+        assert dp4.cfg.sub == 4 and dp4.cfg.T == -(-p.num_tiles // 4)
+        y4 = np.asarray(dp4(x))[:coo.num_rows]
+    finally:
+        del os.environ["ELLSPMV_TPU_SUB"]
+        del os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"]
+    np.testing.assert_array_equal(y1, y4)
+    want = ell_spmv_numpy(ell, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    np.testing.assert_allclose(y4, want, rtol=5e-5, atol=5e-5 * scale)
