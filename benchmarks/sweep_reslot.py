@@ -10,8 +10,11 @@ Usage: python benchmarks/sweep_reslot.py [--n 500000] [--widths 16,24,32,48]
 
 import argparse
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.jax_cache"))
 

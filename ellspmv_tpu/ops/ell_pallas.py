@@ -671,9 +671,6 @@ class DevicePlan:
                     and plan.qb.size):
                 ks_slot = tuple(
                     int(v) for v in plan.qb[:, 1, :].max(axis=0))
-            # nacc=1 measured best on v5e across poisson/banded/mesh
-            # (sweep 2026-08-17: 97.8% vs 85% roofline on poisson)
-            nacc = int(os.environ.get("ELLSPMV_TPU_NACC", "1"))
             T, S, G = plan.num_tiles, plan.rowsize, plan.G
             # supertiling: amortize the measured ~230 ns/grid-step cost
             # without leaving the cheap (G,128) gather regime; biggest
@@ -693,6 +690,12 @@ class DevicePlan:
                         sub = cand
                         break
             sub = max(1, min(sub, max(T, 1)))
+            # accumulator split: nacc=1 measured best on the non-supertiled
+            # plans (poisson 97.8% roofline, r1 sweep); supertiled plans
+            # (long shared-window slot chains) measured ~3% faster with 2
+            # independent dd chains (banded 2M: 1.320 -> 1.286 ms)
+            nacc_env = os.environ.get("ELLSPMV_TPU_NACC", "")
+            nacc = int(nacc_env) if nacc_env else (2 if sub > 1 else 1)
             K128 = plan.K128
             if sub > 1:
                 (T, wbs, qb_s, lcol4, vals4, K128) = _superize(plan, sub)

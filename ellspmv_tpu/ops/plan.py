@@ -29,6 +29,7 @@ and the caller falls back to the XLA path or a hybrid split.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -158,11 +159,12 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
 
 
 def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:
-    # use the mean per-slot gather count: the kernel's unrolled loop does
-    # issue KS steps, but selects on empty steps retire faster; the mean
-    # ranks layouts (e.g. rebucketed vs rank slots) more faithfully
-    ks_mean = float(plan.qb[:, 1, :].mean()) if plan.qb.size else plan.KS
-    return _cost(plan.num_tiles, plan.rowsize, plan.G, ks_mean, plan.K128,
+    # use the EXECUTED per-slot gather count (the kernel's static unroll
+    # runs ks_slot = max span over tiles, per slot position — build_plan's
+    # slot-span sort already minimized that sum)
+    ks_exec = (float(plan.qb[:, 1, :].max(axis=0).mean())
+               if plan.qb.size else plan.KS)
+    return _cost(plan.num_tiles, plan.rowsize, plan.G, ks_exec, plan.K128,
                  value_bytes, dd, static=bool(plan.static_window))
 
 
@@ -337,6 +339,23 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     vals = np.zeros((n_pad, S), np.dtype(value_dtype))
     vals[:n_pad_in] = np.asarray(ell.values)
 
+    # Per-tile slot-span sort: the kernel's scan trips are STATIC per slot
+    # (ks_slot = max span over tiles), so aligning each tile's widest
+    # slots to the same slot indices minimizes sum_s max_t span(t, s)
+    # (rearrangement inequality; slot order is free — slots accumulate
+    # independently). Banded-random 2M: executed steps 101 -> 89.
+    if S > 1 and qb.size and os.environ.get(
+            "ELLSPMV_TPU_SLOTSORT", "1") != "0":
+        order = np.argsort(-ks, axis=1, kind="stable")       # (T, S)
+        if int(np.minimum(ks, max_ks).max(axis=0).sum()) > int(
+                np.take_along_axis(ks, order, 1).max(axis=0).sum()):
+            qb = np.take_along_axis(qb, order, 1)
+            ks = np.take_along_axis(ks, order, 1)
+            lcol = np.take_along_axis(lcol, order[:, None, :], 2)
+            vals = np.take_along_axis(
+                vals.reshape(num_tiles, R, S), order[:, None, :], 2
+            ).reshape(n_pad, S)
+
     # Slot-major relayout: (T, R, S) -> (T, S*G, 128) per-tile blocks
     def relayout(a, dt):
         return np.ascontiguousarray(
@@ -348,7 +367,6 @@ def build_plan(ell, row_tile: int = DEFAULT_ROW_TILE,
     # disables); int8 (stored biased by -128, so KS*128 <= 256 fits
     # exactly — the KS=2 mesh/stencil case) halves it again
     # (ELLSPMV_TPU_LCOL8=0 disables).
-    import os
     lcol_dt = np.int32
     if (KS * 128 <= np.iinfo(np.int16).max
             and os.environ.get("ELLSPMV_TPU_LCOL16", "1") != "0"):
@@ -409,8 +427,11 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
                 if _vmem_bytes(S, G, KS, K128, dd,
                                static=static) > VMEM_BUDGET_BYTES:
                     continue
-                # cost with the average per-slot step count (dynamic loop)
-                KS = max(float(ks_arr.mean()), 1.0)
+                # cost with the EXECUTED per-slot step count: the kernel
+                # unrolls to ks_slot = max span over tiles, after the
+                # per-tile slot-span sort build_plan applies
+                ks_sorted = -np.sort(-np.minimum(ks_arr, max_ks), axis=1)
+                KS = max(float(ks_sorted.max(axis=0).mean()), 1.0)
                 T = _round_up(ell.padded_rows, R) // R
                 c = _cost(T, S, G, KS, K128, vb, dd, static=static)
                 if c < best_cost:

@@ -410,6 +410,10 @@ def test_supertile_matches_single_tile():
     assert p is not None and p.num_tiles >= 5  # odd T: exercises padding
     x = np.random.RandomState(3).rand(ell.num_columns)
     os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"] = "1"
+    # pin nacc: supertiled plans default to 2 accumulator chains while
+    # sub=1 uses 1, which permutes the summation order (~1e-14 deltas);
+    # this test isolates the supertile transformation itself.
+    os.environ["ELLSPMV_TPU_NACC"] = "1"
     try:
         os.environ["ELLSPMV_TPU_SUB"] = "1"
         y1 = np.asarray(DevicePlan(ell, p, dd=True)(x))[:coo.num_rows]
@@ -419,6 +423,7 @@ def test_supertile_matches_single_tile():
         y4 = np.asarray(dp4(x))[:coo.num_rows]
     finally:
         del os.environ["ELLSPMV_TPU_SUB"]
+        del os.environ["ELLSPMV_TPU_NACC"]
         del os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"]
     np.testing.assert_array_equal(y1, y4)
     want = ell_spmv_numpy(ell, x)
