@@ -72,16 +72,27 @@ def main() -> int:
     for mode in args.modes.split(","):
         ell_pallas._ABLATE = mode
         jax.clear_caches()
+        # honest spans: a 2-iter t_lo is dispatch-dominated and a single
+        # +20 ms tunnel spike deflates min((t_hi-t_lo)/hi) wildly (a bogus
+        # 0.049 ms "noscan" was measured this way); target ~0.3 s spans
+        # and take the MEDIAN of 3 slopes like bench/harness.py
         lo, hi = 2, 40
         run_lo, run_hi = make_loop(lo, dp), make_loop(lo + hi, dp)
         sync(run_lo(xj, dp)); sync(run_hi(xj, dp))
-        t = float("inf")
+        t0_ = time.perf_counter(); sync(run_hi(xj, dp))
+        rough = max((time.perf_counter() - t0_) / hi, 1e-7)
+        if rough * hi < 0.25:
+            hi = min(1 << int(np.ceil(np.log2(0.3 / rough))), 4096)
+            run_hi = make_loop(lo + hi, dp)
+            sync(run_hi(xj, dp))
+        slopes = []
         for _ in range(3):
             t0_ = time.perf_counter(); sync(run_lo(xj, dp))
             t_lo = time.perf_counter() - t0_
             t0_ = time.perf_counter(); sync(run_hi(xj, dp))
             t_hi = time.perf_counter() - t0_
-            t = min(t, max((t_hi - t_lo) / hi, 1e-12))
+            slopes.append(max((t_hi - t_lo) / hi, 1e-12))
+        t = float(np.median(slopes))
         print(f"ablate={mode or '-':10s}: {t * 1e3:8.3f} ms  "
               f"{ell.num_nonzeros / t * 1e-9:6.2f} Gnz/s", flush=True)
     return 0

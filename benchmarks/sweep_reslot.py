@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--widths", default="16,24,32,48,64")
     ap.add_argument("--key", default="offset",
                     help="rebucket key: offset | column | block")
+    ap.add_argument("--quantile", type=float, default=None,
+                    help="block-capacity quantile (key=block); width 0 "
+                    "derives S_out from the quantile caps")
     ap.add_argument("--row-tile", type=int, default=0,
                     help="force a row tile (slope-1) instead of best_plan")
     ap.add_argument("--repeat", type=int, default=16)
@@ -53,8 +56,10 @@ def main():
 
     for w in [int(s) for s in args.widths.split(",")]:
         t0 = time.perf_counter()
-        ell = (ell0 if w <= ell0.rowsize else
-               plan_mod.rebucket_slots(ell0, key=args.key, widen_to=w))
+        ell = (ell0 if 0 < w <= ell0.rowsize else
+               plan_mod.rebucket_slots(ell0, key=args.key,
+                                       widen_to=(w or None),
+                                       quantile=args.quantile))
         plan = (plan_mod.build_plan(ell, row_tile=args.row_tile, slope=1,
                                     value_dtype=np.float64)
                 if args.row_tile else

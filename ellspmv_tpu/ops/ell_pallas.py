@@ -256,6 +256,11 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             lane = jax.lax.bitwise_and(idx, jnp.int32(127))
             qb = qb_ref[0, 0, s]
             ks = qb_ref[0, 1, s]      # per-(tile, slot) gather step count
+            if _ABLATE in ("staticqb", "staticbase"):
+                # time the addressing: static per-slot window offsets
+                # (wrong results; isolates the dynamic-slice cost)
+                qb = jnp.int32(0)
+            sbase_l = (jnp.int32(0) if _ABLATE == "staticbase" else sbase)
 
             # slope-1: the operand is a (G,128) diagonal slice of the
             # window — sublane g reads window row qb+k+g, matching the
@@ -264,9 +269,9 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             # span, not the global max (lax.fori_loop, dynamic bound).
             def op(buf, k):
                 if slope:
-                    return buf[pl.ds(sbase + qb + k, G), :]
+                    return buf[pl.ds(sbase_l + qb + k, G), :]
                 return jnp.broadcast_to(
-                    buf[pl.ds(sbase + qb + k, 1), :], (G, 128))
+                    buf[pl.ds(sbase_l + qb + k, 1), :], (G, 128))
 
             # chunked scan (slope-0 dynamic loops): load an (8, 128) window
             # block once per iteration, then 8 static select steps — cuts
@@ -291,7 +296,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
 
                 def chunk(c, carry):
                     h, lo = carry
-                    base = sbase + qb + c * jnp.int32(U)
+                    base = sbase_l + qb + c * jnp.int32(U)
                     wh = xw[pl.ds(base, U), :]
                     wl = xwl[pl.ds(base, U), :]
                     for j in range(U):
@@ -331,8 +336,8 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                             # dynamic slice each. Gated to tiny slices:
                             # a big G would hoist a register-busting
                             # (G+trip, 128) value.
-                            Wh = xw[pl.ds(sbase + qb, L), :]
-                            Wl = xwl[pl.ds(sbase + qb, L), :]
+                            Wh = xw[pl.ds(sbase_l + qb, L), :]
+                            Wl = xwl[pl.ds(sbase_l + qb, L), :]
                             oph = lambda k: Wh[k:k + G]
                             opl = lambda k: Wl[k:k + G]
                         else:
@@ -372,7 +377,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                                      xg)
 
                 def chunk(c, xg):
-                    base = sbase + qb + c * jnp.int32(U)
+                    base = sbase_l + qb + c * jnp.int32(U)
                     w = xw[pl.ds(base, U), :]
                     for j in range(U):
                         k = c * jnp.int32(U) + jnp.int32(j)
@@ -391,7 +396,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                     else:
                         L = -(-(trip + G - 1) // 8) * 8
                         if slope and L <= 16:
-                            W1 = xw[pl.ds(sbase + qb, L), :]
+                            W1 = xw[pl.ds(sbase_l + qb, L), :]
                             op1 = lambda k: W1[k:k + G]
                         else:
                             op1 = lambda k: op(xw, jnp.int32(k))

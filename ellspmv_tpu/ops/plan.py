@@ -444,7 +444,8 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
                       _stats=stats)
 
 
-def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
+def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None,
+                   quantile: float | None = None):
     """Reassign each row's entries to ELL slots by bucketed sort key.
 
     With rank-ordered slots (--sort-rows), a slot mixes different diagonals
@@ -474,6 +475,15 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
     each spans the whole column range); extra slots give entries room to
     sit at their bucket, trading ~S_out/S storage for an S-fold scan
     reduction — the right trade when the scan dominates (random columns).
+
+    `quantile` (key='block' only) sizes each block's slot range from the
+    per-ROW entry-count distribution instead of total mass: cap_b =
+    ceil(quantile_q over rows of count_b(row)). Mass-proportional ranges
+    under-size blocks whose per-row counts have heavy tails (banded-RANDOM
+    boundary blocks), making ~a third of rows spill into the neighbour
+    range (span-2 slots); a high quantile buys ks→1 with the slot space it
+    actually needs. S_out = sum(cap) when `widen_to` is None, else
+    capacities are rescaled into the given width.
     """
     from ellspmv_tpu.formats.ell import EllMatrix
 
@@ -507,11 +517,27 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None):
     if key == "block":
         if len(uniq) > S_out:
             return ell    # band wider than the slot space can split
-        # capacity-proportional slot ranges per block (each >= 1); a block
-        # with capacity C_b gets slots [base_b, base_b + C_b) and per-row
-        # overflow spills into the next block's range (ks 2, not 4+)
-        quota = counts * (S_out / counts.sum())
-        cap = np.maximum(1, np.floor(quota).astype(np.int64))
+        if quantile is not None and len(uniq) <= 64:
+            # per-ROW count quantiles: cap_b covers quantile-q of the rows'
+            # block-b entry counts, so spills (span-2 slots) are confined
+            # to the (1-q) tail instead of a third of the rows
+            idx_all = np.clip(np.searchsorted(uniq, offs), 0, len(uniq) - 1)
+            cap = np.empty(len(uniq), np.int64)
+            for b in range(len(uniq)):
+                cb = ((idx_all == b) & real).sum(axis=1)
+                cap[b] = max(1, int(np.ceil(np.quantile(cb, quantile))))
+            if widen_to is None:
+                S_out = max(S, int(cap.sum()))
+            else:              # rescale into the requested width
+                cap = np.maximum(1, np.round(
+                    cap * (S_out / cap.sum())).astype(np.int64))
+            quota = cap.astype(np.float64)
+        else:
+            # capacity-proportional slot ranges per block (each >= 1); a
+            # block with capacity C_b gets slots [base_b, base_b + C_b) and
+            # per-row overflow spills into the next block's range (ks 2)
+            quota = counts * (S_out / counts.sum())
+            cap = np.maximum(1, np.floor(quota).astype(np.int64))
         spare = S_out - int(cap.sum())
         order = np.argsort(-(quota - np.floor(quota)))
         i = 0
