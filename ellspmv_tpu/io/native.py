@@ -108,22 +108,26 @@ def read_matrix(path: str, gzipped: bool | None = None,
             from ellspmv_tpu.io.mtx import MtxFormatError
             raise MtxFormatError(msg)
         nnz = r.num_nonzeros
-        # Copy out of the C buffers so we can free them eagerly.
-        rowidx = np.ctypeslib.as_array(r.rowidx, shape=(nnz,)).copy()
-        colidx = np.ctypeslib.as_array(r.colidx, shape=(nnz,)).copy()
+        idx_dt = select_index_dtype(r.num_rows, r.num_columns, nnz,
+                                    index_dtype)
+        # One conversion straight out of the C buffers (astype always
+        # copies across dtypes, and copy=True pins it for same-dtype), so
+        # the library memory can be freed eagerly without an intermediate
+        # int64 copy.
+        rowidx = np.ctypeslib.as_array(r.rowidx, shape=(nnz,)).astype(
+            idx_dt, copy=True)
+        colidx = np.ctypeslib.as_array(r.colidx, shape=(nnz,)).astype(
+            idx_dt, copy=True)
         if r.field == 2:  # pattern → value 1.0 (ellspmv.c:882)
             values = np.ones(nnz, dtype=value_dtype)
         else:
             values = np.ctypeslib.as_array(
                 r.values, shape=(nnz,)).astype(value_dtype, copy=True)
-        idx_dt = select_index_dtype(r.num_rows, r.num_columns, nnz,
-                                    index_dtype)
         field = ("real", "integer", "pattern")[r.field]
         symmetry = ("general", "symmetric")[r.symmetry]
         return CooMatrix(num_rows=int(r.num_rows),
                          num_columns=int(r.num_columns),
-                         rowidx=rowidx.astype(idx_dt, copy=False),
-                         colidx=colidx.astype(idx_dt, copy=False),
+                         rowidx=rowidx, colidx=colidx,
                          values=values, symmetry=symmetry, field=field)
     finally:
         lib.mtxio_free(res)

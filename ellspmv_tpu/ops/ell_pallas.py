@@ -55,6 +55,10 @@ def _slots_unrolled(S: int, KS: int) -> bool:
 # gather (uses the window row directly); "noscan" does a single scan step
 # per slot; "nofma" (dd) replaces the compensated FMA with a plain f32 one.
 _ABLATE = os.environ.get("ELLSPMV_TPU_ABLATE", "")
+# Scan-step combiner in the unrolled path: the select cascade (default)
+# costs (trip-1) cmps + 2(trip-1) selects; =1 restores the masked
+# balanced-tree sum for A/B measurement.
+_SELECT_TREE = os.environ.get("ELLSPMV_TPU_SELECT_TREE", "0") != "0"
 # Unroll the supertile's subtile loop statically (sub*S slot bodies of
 # straight-line code) instead of a dynamic fori over shared bodies.
 _SUB_STATIC = os.environ.get("ELLSPMV_TPU_SUB_STATIC", "0") != "0"
@@ -313,9 +317,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 if unroll:
                     # static unroll to the SLOT's own span (ks_slot, from
                     # the plan) — narrow slots stop early instead of
-                    # running the global KS; hits are unique per element,
-                    # so masked steps sum in a tree (no serial select
-                    # chain for the scheduler to stall on)
+                    # running the global KS
                     trip = KS_eff
                     if (ks_slot is not None and s_stat is not None
                             and _ABLATE != "noscan"):
@@ -343,21 +345,41 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                         else:
                             oph = lambda k: op(xw, jnp.int32(k))
                             opl = lambda k: op(xwl, jnp.int32(k))
-                        parts = []
-                        for k in range(trip):
-                            hit = q == jnp.int32(k)
-                            parts.append((
-                                jnp.where(hit, gather(oph(k), lane),
-                                          jnp.float32(0)),
-                                jnp.where(hit, gather(opl(k), lane),
-                                          jnp.float32(0))))
-                        while len(parts) > 1:
-                            nxt_ = [(a[0] + b[0], a[1] + b[1]) for a, b in
-                                    zip(parts[0::2], parts[1::2])]
-                            if len(parts) % 2:
-                                nxt_.append(parts[-1])
-                            parts = nxt_
-                        xg_h, xg_l = parts[0] if parts else init
+                        gh = [gather(oph(k), lane) for k in range(trip)]
+                        gl = [gather(opl(k), lane) for k in range(trip)]
+                        if _SELECT_TREE:
+                            # masked steps summed in a balanced tree
+                            # (hits are unique per element)
+                            parts = []
+                            for k in range(trip):
+                                hit = q == jnp.int32(k)
+                                parts.append((
+                                    jnp.where(hit, gh[k], jnp.float32(0)),
+                                    jnp.where(hit, gl[k], jnp.float32(0))))
+                            while len(parts) > 1:
+                                nxt_ = [(a[0] + b[0], a[1] + b[1])
+                                        for a, b in
+                                        zip(parts[0::2], parts[1::2])]
+                                if len(parts) % 2:
+                                    nxt_.append(parts[-1])
+                                parts = nxt_
+                            xg_h, xg_l = parts[0] if parts else init
+                        else:
+                            # select cascade: real entries always have
+                            # q < trip (plan.py lcol is qb-relative and
+                            # bounded by the slot span) and padding
+                            # multiplies v=0, so the final step needs no
+                            # mask — (trip-1) cmps + 2(trip-1) selects
+                            # replaces the tree's trip cmps + 2*trip
+                            # selects + 2(trip-1) adds (~2*trip+1 fewer
+                            # VPU ops per slot; the cascade depth <= KS
+                            # is far shorter than the dd-FMA chain it
+                            # feeds, so the serialization is free)
+                            xg_h, xg_l = gh[trip - 1], gl[trip - 1]
+                            for k in range(trip - 2, -1, -1):
+                                hit = q == jnp.int32(k)
+                                xg_h = jnp.where(hit, gh[k], xg_h)
+                                xg_l = jnp.where(hit, gl[k], xg_l)
                 elif chunked:
                     xg_h, xg_l = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),
@@ -400,20 +422,27 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                             op1 = lambda k: W1[k:k + G]
                         else:
                             op1 = lambda k: op(xw, jnp.int32(k))
-                        parts = []
-                        for k in range(trip):
-                            parts.append(jnp.where(
-                                q == jnp.int32(k),
-                                gather(op1(k), lane),
-                                jnp.float32(0)))
-                        while len(parts) > 1:
-                            nxt_ = [a + b for a, b in
-                                    zip(parts[0::2], parts[1::2])]
-                            if len(parts) % 2:
-                                nxt_.append(parts[-1])
-                            parts = nxt_
-                        xg = parts[0] if parts else jnp.zeros(
-                            (G, 128), jnp.float32)
+                        g1 = [gather(op1(k), lane) for k in range(trip)]
+                        if _SELECT_TREE:
+                            parts = []
+                            for k in range(trip):
+                                parts.append(jnp.where(
+                                    q == jnp.int32(k), g1[k],
+                                    jnp.float32(0)))
+                            while len(parts) > 1:
+                                nxt_ = [a + b for a, b in
+                                        zip(parts[0::2], parts[1::2])]
+                                if len(parts) % 2:
+                                    nxt_.append(parts[-1])
+                                parts = nxt_
+                            xg = parts[0] if parts else jnp.zeros(
+                                (G, 128), jnp.float32)
+                        else:
+                            # select cascade (see dd path)
+                            xg = g1[trip - 1]
+                            for k in range(trip - 2, -1, -1):
+                                xg = jnp.where(q == jnp.int32(k),
+                                               g1[k], xg)
                 elif chunked:
                     xg = jax.lax.fori_loop(
                         0, (ks_eff + jnp.int32(U - 1)) // jnp.int32(U),

@@ -398,6 +398,26 @@ def test_rebucket_block_widened():
     assert ks_blk < ks_off, (ks_blk, ks_off)
 
 
+def test_rebucket_block_quantile():
+    """Per-row quantile block capacities (key='block', quantile=q):
+    semantics preserved; with widen_to=None the slot space is sized from
+    the per-row count quantiles (>= the input rowsize); with an explicit
+    width the capacities rescale into it."""
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    from tests.conftest import assert_fp64_close
+    coo = banded_random(20_000, 16, 512, seed=0)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    x = np.random.RandomState(1).rand(ell.num_columns)
+    want = ell_spmv_numpy(ell, x)
+    e_q = rebucket_slots(ell, key="block", quantile=0.9)
+    assert e_q.rowsize >= ell.rowsize
+    assert_fp64_close(ell_spmv_numpy(e_q, x), want)
+    e_qw = rebucket_slots(ell, key="block", widen_to=2 * ell.rowsize,
+                          quantile=0.9)
+    assert e_qw.rowsize == 2 * ell.rowsize
+    assert_fp64_close(ell_spmv_numpy(e_qw, x), want)
+
+
 def test_supertile_matches_single_tile():
     """Supertiling (sub>1: SUB subtiles share one grid step + window DMA)
     must reproduce the sub=1 results exactly on the same plan."""
