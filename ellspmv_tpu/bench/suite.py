@@ -94,6 +94,32 @@ def run_suite(quick: bool = False, as_json: bool = False,
     record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 256),
            note="gather-free")
 
+    # --- headline: FEM mesh, auto-chosen flagship format ------------------
+    # bench.py's config (the reference's Lynx68-class matrix stand-in,
+    # BASELINE configs[2]); metrics on the reference's ELLPACK min-bytes
+    # model (ellspmv.c:1858) so the row is comparable to its 148 GB/s
+    from ellspmv_tpu.bench.harness import SpmvMetrics
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.models.generators import fem_mesh_2d
+    nmesh = int(round((2_073_600 // scale) ** 0.5))
+    coo = fem_mesh_2d(nmesh)
+    x = np.random.RandomState(1).rand(coo.num_rows)
+    rowsize = int(np.bincount(np.asarray(coo.rowidx)).max())
+    ellsize = coo.num_rows * rowsize
+    mmetrics = SpmvMetrics(
+        num_nonzeros=coo.num_nonzeros, num_flops=2 * ellsize,
+        min_bytes=coo.num_rows * 8 + coo.num_columns * 8
+        + ellsize * (8 + 4),
+        max_bytes=coo.num_rows * 8 + ellsize * (8 + 4 + 8))
+    mat = auto_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    chosen = getattr(mat, "_auto_choice", type(mat).__name__.lower())
+    mat = mat.device_put()
+    from ellspmv_tpu.bench.harness import benchmark_spmv as _bspmv
+    record(f"headline fem-mesh {nmesh}^2 auto f64",
+           _bspmv(None, mat, x, repeat=64, warmup=2, protocol="chained",
+                  metrics=mmetrics),
+           note=f"auto={chosen} (ELLPACK min-bytes basis)")
+
     # --- config 2: banded FEM stand-in -----------------------------------
     n = 2_000_000 // scale
     coo = banded_random(n, 16, 512, seed=0)
