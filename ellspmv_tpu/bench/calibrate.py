@@ -22,11 +22,27 @@ import json
 import os
 import time
 
-# Measured v5e values (round-1 hardware sessions) — the fallback.
+# Measured v5e values (round-1/2 hardware sessions) — the fallback.
+#
+# vpu_sublane_rows_per_cycle is an EFFECTIVE pipelined rate, refit
+# 2026-08-19 from the poisson/banded row-tile sweeps: the round-1 value
+# (24, one isolated gather's latency) made the VPU term dominate every
+# ranking, so the gather penalty vetoed big row tiles even where the
+# VPU work hides entirely under the HBM stream (poisson measured
+# 0.095 ms at G=64 vs 0.175 ms at G=8+supertile). 320 is the joint fit
+# with _gather_penalty over eight end-to-end points (banded block/32
+# G=8/16/32/64, raw S=16 G=8, poisson G=8..64); it reproduces the
+# banded exposed-VPU times within ~15% and leaves stencil-class plans
+# HBM-bound, matching all measured rankings.
+#
+# subtile_overhead_cycles: a supertile's inner subtile step (shared-body
+# fori + window re-slice) costs ~75 ns on top of the per-grid-step 300
+# cycles, fit from poisson rt=1024/sub=8 (0.175 ms) vs rt=8192 (0.095 ms).
 DEFAULTS = {
     "hbm_bytes_per_cycle": 870.0,
-    "vpu_sublane_rows_per_cycle": 24.0,
+    "vpu_sublane_rows_per_cycle": 320.0,
     "tile_overhead_cycles": 300.0,
+    "subtile_overhead_cycles": 70.0,
     "stream_ns_per_nnz": 3.0,
     "cycles_per_s": 940e6,
 }

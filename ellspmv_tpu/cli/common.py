@@ -690,7 +690,8 @@ def _convert(coo, opts, csr, program):
     elif opts.format == "auto":
         from ellspmv_tpu.formats.auto import auto_from_coo
         mat = auto_from_coo(coo, separate_diagonal=opts.separate_diagonal,
-                            sort_rows=True, value_dtype=opts.precision,
+                            sort_rows=opts.sort_rows,
+                            value_dtype=opts.precision,
                             index_dtype=(f"int{opts.index_width}"
                                          if opts.index_width else None),
                             allow_dia=opts.devices <= 1)

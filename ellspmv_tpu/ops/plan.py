@@ -110,15 +110,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _gather_penalty(G: int) -> float:
     """Measured v5e: the dynamic lane gather stays cheap on (<=8, 128)
-    operands, ~1.8x at 16 sublanes, and ~4.5x at 32+ (2M banded ablations
-    2026-08-17: gather share 0.30 / ~0.55 / 1.35 / 1.37 ms at G=8/16/32/64
-    with identical per-row work). Keeps the planner in the cheap regime —
-    DevicePlan supertiling recovers the big-tile amortization instead."""
-    if G <= 8:
-        return 1.0
-    if G <= 16:
-        return 1.8
-    return 4.5
+    operands and ~1.75x per step beyond that (joint fit over the
+    2026-08-19 end-to-end sweeps: banded block/32 at G=8/16/32/64 =
+    1.312/1.577/1.645/1.829 ms, raw S=16 ks=7.5 at G=8 = 1.388 ms,
+    poisson at G=8..64 = 0.175/0.127/0.095/0.0945 ms — solved together
+    with the effective VPU rate, since rate and penalty are degenerate
+    at any single point). Only decisive when the VPU term is actually
+    exposed (vpu > hbm in _cost's max): stencil-class plans stay
+    HBM-bound at any G, so big row tiles win there."""
+    return 1.0 if G <= 8 else 1.75
 
 
 def _sub_estimate(S, G, KS, K128, dd, static) -> int:
@@ -132,21 +132,35 @@ def _sub_estimate(S, G, KS, K128, dd, static) -> int:
     return 1
 
 
-def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
+def _lcol_bytes(KS: int) -> int:
+    """Bytes per stored local column at this window span (mirrors
+    build_plan's int8/int16 narrowing, including the env disables)."""
+    if KS * 128 <= 256 and os.environ.get("ELLSPMV_TPU_LCOL8", "1") != "0":
+        return 1
+    if (KS * 128 <= np.iinfo(np.int16).max
+            and os.environ.get("ELLSPMV_TPU_LCOL16", "1") != "0"):
+        return 2
+    return 4
+
+
+def _cost(T, S, G, KS, K128, value_bytes, dd, static=False,
+          ks_lcol=None) -> float:
     """Rough per-SpMV device cycles: max of the HBM stream time and the VPU
     gather/select/FMA time, plus per-grid-step fixed overhead (amortized
-    by the supertile factor DevicePlan applies). Ranks candidate tile
-    sizes only."""
+    by the supertile factor DevicePlan applies, which still pays a smaller
+    per-SUBTILE cost — window re-slicing + the shared-body fori step).
+    Ranks candidate tile sizes only."""
     from ellspmv_tpu.bench import calibrate
     nnz_slots = T * S * G * 128
-    hbm = (nnz_slots * (value_bytes + 4)
+    hbm = (nnz_slots * (value_bytes
+                        + _lcol_bytes(int(ks_lcol if ks_lcol is not None
+                                          else np.ceil(max(KS, 1)))))
            # x window: DMA'd per tile when moving, once when resident
            + (1 if static else T) * K128 * 128 * value_bytes
            + T * G * 128 * value_bytes)          # y
-    # per scan step: one dynamic lane gather per payload at ~4 cycles per
-    # (8,128) op (measured v5e; = ~12 op-units at the 3-ops/cycle VPU
-    # rate) + selects; dd pays it for hi and lo; operands taller than 8
-    # sublanes lower to a slower gather form (_gather_penalty)
+    # per scan step: one dynamic lane gather per payload + selects; dd
+    # pays it for hi and lo; operands taller than 8 sublanes lower to a
+    # slower gather form (_gather_penalty)
     gather_ops = ((20 if dd else 10) * KS * _gather_penalty(G)
                   + (20 if dd else 2))
     # a (G,128) op with G<8 still occupies a full (8,128) native vreg op —
@@ -154,8 +168,10 @@ def _cost(T, S, G, KS, K128, value_bytes, dd, static=False) -> float:
     vpu = (T * S * max(G, 8) * gather_ops
            / calibrate.get("vpu_sublane_rows_per_cycle") * 8)
     sub = _sub_estimate(S, G, KS, K128, dd, static)
+    steps = -(-T // sub)
     return (max(hbm / calibrate.get("hbm_bytes_per_cycle"), vpu)
-            + -(-T // sub) * calibrate.get("tile_overhead_cycles"))
+            + steps * calibrate.get("tile_overhead_cycles")
+            + (T - steps) * calibrate.get("subtile_overhead_cycles"))
 
 
 def estimate_cycles(plan: "EllPlan", value_bytes: int, dd: bool) -> float:

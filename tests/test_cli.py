@@ -321,6 +321,22 @@ def test_format_auto_cli(tmp_path, rng, capsys):
     assert "auto_from_coo" in err
 
 
+def test_format_auto_honors_sort_rows(rng):
+    """--format=auto passes the user's --sort-rows state through instead
+    of hardcoding sorted rows (advisor finding, round 1)."""
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.ell import EllMatrix, ell_from_coo
+    from ellspmv_tpu.models.generators import banded_random
+
+    coo = banded_random(2000, 8, 64, seed=3)
+    unsorted = auto_from_coo(coo, sort_rows=False, value_dtype=np.float64,
+                             allow_dia=False)
+    assert isinstance(unsorted, EllMatrix)
+    ref = ell_from_coo(coo, sort_rows=False, value_dtype=np.float64)
+    np.testing.assert_array_equal(np.asarray(unsorted.colidx),
+                                  np.asarray(ref.colidx))
+
+
 def test_format_stream_sharded_cli(tmp_path, rng, capsys):
     """--format=stream --devices=N runs the row-sharded sort-based
     pipeline under shard_map."""
