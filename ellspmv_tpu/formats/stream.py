@@ -186,8 +186,10 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     prod_ell = EllMatrix(colidx=pcol, values=pval, diag=None,
                         num_rows=prod_len, num_columns=m,
                         num_nonzeros=nnz)
-    plan = plan_mod.best_plan(prod_ell,
-                              value_dtype=np.float64 if dd else np.float32)
+    prod_rt = os.environ.get("ELLSPMV_TPU_PROD_RT", "")
+    plan = plan_mod.best_plan(
+        prod_ell, value_dtype=np.float64 if dd else np.float32,
+        **({"row_tiles": (int(prod_rt),)} if prod_rt else {}))
     if plan is not None:
         dp = ell_pallas.DevicePlan(prod_ell, plan, dd)
         assert plan.n_pad == prod_len

@@ -277,14 +277,19 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 return jnp.broadcast_to(
                     buf[pl.ds(sbase_l + qb + k, 1), :], (G, 128))
 
-            # chunked scan (slope-0 dynamic loops): load an (8, 128) window
-            # block once per iteration, then 8 static select steps — cuts
-            # the per-step dynamic-slice + loop overhead ~8x. The chunk may
-            # read up to 7 rows past the slot's span; those steps' k never
-            # matches any q (q < ks), and the scratch carries 8 slack rows
-            # so the read itself stays in bounds.
+            # chunked scan (dynamic loops): load one window block per
+            # iteration — (U,128) for slope-0, (U+G-1,128) for slope-1 —
+            # then U static select steps; a static sub-slice costs ~4
+            # cycles where a per-step dynamic slice measured ~31 (stream
+            # products ablation 2026-08-19). The chunk may read up to
+            # U-1 rows past the slot's span (+G-1 for the slope-1
+            # diagonal): those steps' k never matches any q (q < ks), and
+            # the scratch carries 8 slack rows so the read itself stays
+            # in bounds (max overreach = qb+ks+G-1 + U-1 <= K128 + 7).
+            # Slope-1 chunking is gated to G <= 8: bigger G would hold a
+            # register-busting (U+G-1, 128) value per chunk.
             U = 8
-            chunked = (not unroll) and slope == 0
+            chunked = (not unroll) and (slope == 0 or G <= 8)
             if _ABLATE == "noscan":
                 KS_eff, ks_eff = 1, jnp.int32(1)
             else:
@@ -301,13 +306,17 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                 def chunk(c, carry):
                     h, lo = carry
                     base = sbase_l + qb + c * jnp.int32(U)
-                    wh = xw[pl.ds(base, U), :]
-                    wl = xwl[pl.ds(base, U), :]
+                    L2 = U + (G - 1 if slope else 0)
+                    wh = xw[pl.ds(base, L2), :]
+                    wl = xwl[pl.ds(base, L2), :]
                     for j in range(U):
                         k = c * jnp.int32(U) + jnp.int32(j)
                         hit = q == k
-                        rh = jnp.broadcast_to(wh[j:j + 1], (G, 128))
-                        rl = jnp.broadcast_to(wl[j:j + 1], (G, 128))
+                        if slope:
+                            rh, rl = wh[j:j + G], wl[j:j + G]
+                        else:
+                            rh = jnp.broadcast_to(wh[j:j + 1], (G, 128))
+                            rl = jnp.broadcast_to(wl[j:j + 1], (G, 128))
                         h = jnp.where(hit, gather(rh, lane), h)
                         lo = jnp.where(hit, gather(rl, lane), lo)
                     return h, lo
@@ -400,10 +409,12 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
 
                 def chunk(c, xg):
                     base = sbase_l + qb + c * jnp.int32(U)
-                    w = xw[pl.ds(base, U), :]
+                    L2 = U + (G - 1 if slope else 0)
+                    w = xw[pl.ds(base, L2), :]
                     for j in range(U):
                         k = c * jnp.int32(U) + jnp.int32(j)
-                        r = jnp.broadcast_to(w[j:j + 1], (G, 128))
+                        r = (w[j:j + G] if slope else
+                             jnp.broadcast_to(w[j:j + 1], (G, 128)))
                         xg = jnp.where(q == k, gather(r, lane), xg)
                     return xg
 

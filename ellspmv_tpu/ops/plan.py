@@ -450,6 +450,12 @@ def best_plan(ell, row_tiles=(8192, 4096, 2048, 1024, 512, 256, 128),
                 KS = max(float(ks_sorted.max(axis=0).mean()), 1.0)
                 T = _round_up(ell.padded_rows, R) // R
                 c = _cost(T, S, G, KS, K128, vb, dd, static=static)
+                if os.environ.get("ELLSPMV_TPU_PLAN_DEBUG"):
+                    import sys
+                    print(f"plan-cand rt={rt} slope={slope} "
+                          f"static={int(static)} G={G} KS_exec={KS:.2f} "
+                          f"K128={K128} T={T} cost_us="
+                          f"{c / 940:.1f}", file=sys.stderr)
                 if c < best_cost:
                     best_cfg, best_cost = (rt, slope, static), c
     if best_cfg is None:

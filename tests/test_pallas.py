@@ -449,3 +449,31 @@ def test_supertile_matches_single_tile():
     want = ell_spmv_numpy(ell, x)
     scale = max(np.max(np.abs(want)), 1.0)
     np.testing.assert_allclose(y4, want, rtol=5e-5, atol=5e-5 * scale)
+
+
+def test_chunked_dynamic_scan_slope1():
+    """KS > the unroll cap takes the dynamic fori path; with slope=1 and
+    G <= 8 it runs the CHUNKED scan (one (U+G-1,128) window load per U
+    static select steps — the stream product kernel's hot path). Pin its
+    results against the NumPy oracle for both dd and f32."""
+    import os
+    from ellspmv_tpu.ops.ell_pallas import DevicePlan
+
+    coo = banded_random(20_000, 6, 6000, seed=5)   # wide band -> KS > 16
+    x = np.random.RandomState(11).rand(coo.num_columns)
+    os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        for dtype, rtol in ((np.float64, 1e-13), (np.float32, 5e-5)):
+            ell = ell_from_coo(coo, sort_rows=True, value_dtype=dtype)
+            p = plan_mod.build_plan(ell, row_tile=1024, slope=1,
+                                    value_dtype=dtype)
+            assert p is not None and p.slope == 1 and p.G == 8
+            assert p.KS > 16, f"KS={p.KS}: not the dynamic path"
+            dp = DevicePlan(ell, p, dd=(dtype == np.float64))
+            got = np.asarray(dp(x.astype(dtype)), np.float64)[:coo.num_rows]
+            want = ell_spmv_numpy(ell, x.astype(np.float64))
+            scale = max(np.max(np.abs(want)), 1.0)
+            np.testing.assert_allclose(got, want, rtol=rtol,
+                                       atol=rtol * scale)
+    finally:
+        del os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"]
