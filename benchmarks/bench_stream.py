@@ -98,17 +98,21 @@ def main():
                         return step(op, c[0], c[1])
                     return jax.lax.fori_loop(0, iters, body, (a, b))
                 return run
-            lo, hi = make(2), make(10)
+            # median of 3 slopes over a long span: a single +-ms tunnel
+            # jitter must not be able to zero the reading (min over
+            # short-span slopes once printed a bogus 0.000 ms)
+            lo, hi = make(2), make(34)
             op = strm.prod
             _sync(lo(op, xh, xl)); _sync(hi(op, xh, xl))
-            best = float("inf")
+            slopes = []
             for _ in range(3):
                 t0 = time.perf_counter(); _sync(lo(op, xh, xl))
                 tl = time.perf_counter() - t0
                 t0 = time.perf_counter(); _sync(hi(op, xh, xl))
                 th = time.perf_counter() - t0
-                best = min(best, max((th - tl) / 8, 1e-9))
-            print(f"stage {name}: {best * 1e3:.3f} ms", flush=True)
+                slopes.append(max((th - tl) / 32, 1e-9))
+            slopes.sort()
+            print(f"stage {name}: {slopes[1] * 1e3:.3f} ms", flush=True)
 
         def prod_only(op, a, b):
             ph, plo = op.apply_pair(a, b)
@@ -116,6 +120,33 @@ def main():
 
         time_stage("products", prod_only)
         if perm is not None:
+            from ellspmv_tpu.ops.permute import _w1, _w2
+
+            def _pad_blocks(v):
+                v = jnp.pad(v.reshape(-1), (0, perm.n_in - v.size))
+                return v.reshape(perm.NBi, 128, 128)
+
+            def prod_w1(op, a, b):
+                ph, plo = op.apply_pair(a, b)
+                mids = _w1(jnp.asarray(perm.l1), jnp.asarray(perm.q1),
+                           _pad_blocks(ph), _pad_blocks(plo),
+                           HA=perm.HA, NBi=perm.NBi, n=2)
+                return (mids[0].reshape(-1)[:a.shape[0]] * 1e-6,
+                        mids[1].reshape(-1)[:a.shape[0]] * 1e-6)
+            time_stage("products+w1", prod_w1)
+
+            def prod_w1_take(op, a, b):
+                ph, plo = op.apply_pair(a, b)
+                mids = _w1(jnp.asarray(perm.l1), jnp.asarray(perm.q1),
+                           _pad_blocks(ph), _pad_blocks(plo),
+                           HA=perm.HA, NBi=perm.NBi, n=2)
+                gsrc = jnp.asarray(perm.gsrc)
+                taken = [jnp.take(m.reshape(perm.NBi * perm.HA * 128, 128),
+                                  gsrc, axis=0) for m in mids]
+                return (taken[0].reshape(-1)[:a.shape[0]] * 1e-6,
+                        taken[1].reshape(-1)[:a.shape[0]] * 1e-6)
+            time_stage("products+w1+take", prod_w1_take)
+
             def prod_route(op, a, b):
                 ph, plo = op.apply_pair(a, b)
                 rh, rl = apply_permute(perm, ph.reshape(-1),
