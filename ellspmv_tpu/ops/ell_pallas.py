@@ -62,6 +62,9 @@ _SELECT_TREE = os.environ.get("ELLSPMV_TPU_SELECT_TREE", "0") != "0"
 # Unroll the supertile's subtile loop statically (sub*S slot bodies of
 # straight-line code) instead of a dynamic fori over shared bodies.
 _SUB_STATIC = os.environ.get("ELLSPMV_TPU_SUB_STATIC", "0") != "0"
+# Chunked dynamic-scan width: window rows loaded per dynamic slice (U
+# static select steps follow). The scratch slack below grows with it.
+_CHUNK_U = max(8, min(32, int(os.environ.get("ELLSPMV_TPU_CHUNK", "8"))))
 
 
 def _i0():
@@ -288,7 +291,7 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             # in bounds (max overreach = qb+ks+G-1 + U-1 <= K128 + 7).
             # Slope-1 chunking is gated to G <= 8: bigger G would hold a
             # register-busting (U+G-1, 128) value per chunk.
-            U = 8
+            U = _CHUNK_U
             chunked = (not unroll) and (slope == 0 or G <= 8)
             if _ABLATE == "noscan":
                 KS_eff, ks_eff = 1, jnp.int32(1)
@@ -576,9 +579,9 @@ def _run_f32(wbase128, qb, lcol, vals, x2d, S, G, KS, K128, T, slope=0,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            # +8 slack rows: the chunked scan may read up to 7 rows past
+            # +U slack rows: the chunked scan may read up to U-1 rows past
             # the last buffer's end (values masked by the q==k selects)
-            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),
+            pltpu.VMEM((nbuf * K128 + _CHUNK_U, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -608,10 +611,10 @@ def _run_dd(wbase128, qb, lcol, vals_h, vals_l, x2d_h, x2d_l,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            # +8 slack rows: the chunked scan may read up to 7 rows past
+            # +U slack rows: the chunked scan may read up to U-1 rows past
             # the last buffer's end (values masked by the q==k selects)
-            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),  # x hi window
-            pltpu.VMEM((nbuf * K128 + 8, 128), jnp.float32),  # x lo window
+            pltpu.VMEM((nbuf * K128 + _CHUNK_U, 128), jnp.float32),  # x hi
+            pltpu.VMEM((nbuf * K128 + _CHUNK_U, 128), jnp.float32),  # x lo
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
