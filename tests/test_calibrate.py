@@ -81,3 +81,25 @@ def test_plausibility_gate_rejects_jittered_measurements():
     calibrate._apply_plausibility_gate(out)
     assert out["hbm_bytes_per_cycle"] == 870.0
     assert out["stream_ns_per_nnz"] == calibrate.DEFAULTS["stream_ns_per_nnz"]
+
+
+def test_cost_model_reproduces_measured_row_tile_rankings():
+    """The default constants must reproduce the 2026-08-19 hardware
+    row-tile sweeps (the round-2 poisson regression was the planner
+    picking the wrong tile): poisson's plan ranks big tiles first
+    (HBM-bound, measured 0.175/0.127/0.095/0.0945 ms at G=8..64) while
+    banded block/32 ranks G=8 first (VPU-exposed, measured
+    1.312/1.577/1.645/1.829 ms)."""
+    from ellspmv_tpu.ops.plan import _cost
+
+    # (T, S, G, KS_exec, K128) from the measured plans, poisson 1024^2
+    poisson = {8: (1024, 5, 8, 1.6, 24), 16: (512, 5, 16, 1.6, 32),
+               32: (256, 5, 32, 1.6, 48), 64: (128, 5, 64, 1.6, 80)}
+    c = {g: _cost(*poisson[g], 8, True) for g in poisson}
+    assert c[64] < c[32] < c[16] < c[8], c
+
+    # banded_random 2M/16/512, block/32 re-slotting
+    banded = {8: (1954, 32, 8, 2.78, 16), 32: (489, 32, 32, 2.84, 40),
+              64: (245, 32, 64, 3.19, 72)}
+    cb = {g: _cost(*banded[g], 8, True) for g in banded}
+    assert cb[8] < cb[32] < cb[64], cb
