@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ellspmv_tpu.bench.traffic import estimate_actual_bytes
 from ellspmv_tpu.config import hbm_peak_bytes_per_s
 from ellspmv_tpu.formats.csr import CsrMatrix
 from ellspmv_tpu.formats.ell import EllMatrix
@@ -131,6 +132,8 @@ class BenchResult:
     protocol: str
     hbm_peak: float             # bytes/s roofline denominator
     warning: str | None = None  # e.g. dispatch-dominated per_iter timing
+    span_iters: int | None = None   # chained: iterations in the timed span
+    actual_bytes: int | None = None  # physical traffic/iter (device plan)
 
     @property
     def best(self) -> float:
@@ -152,9 +155,37 @@ class BenchResult:
         """Achieved effective bandwidth (min-bytes model) / HBM peak."""
         return self.metrics.min_bytes / self.best / self.hbm_peak
 
+    def actual_gb_per_s(self, t=None) -> float | None:
+        """Physical HBM traffic rate (device-plan byte count), or None when
+        no plan-based accounting exists for this matrix/kernel."""
+        if self.actual_bytes is None:
+            return None
+        return self.actual_bytes * 1e-9 / (t or self.best)
+
+    def physical_roofline(self) -> float | None:
+        """Actual traffic / HBM peak — always <= ~1, unlike the effective
+        (min-bytes-model) roofline, which formats that move fewer bytes
+        than ELLPACK's minimum legitimately exceed."""
+        if self.actual_bytes is None:
+            return None
+        return self.actual_bytes / self.best / self.hbm_peak
+
     def iteration_lines(self) -> list[str]:
         """Per-iteration report in the reference's format
-        (ellspmv.c:1868-1875)."""
+        (ellspmv.c:1868-1875). Under the chained protocol there are no
+        individual iteration timestamps — the measurement is ONE slope over
+        a long in-jit span — so print it once, labeled as a slope, instead
+        of `repeat` synthetic copies."""
+        if self.protocol == "chained":
+            t = self.best
+            span = f" over a {self.span_iters}-iteration chained span" \
+                if self.span_iters else ""
+            return [
+                f"{t:.9f} seconds/iteration (slope{span}; "
+                f"{self.gnz_per_s(t):.3f} Gnz/s, "
+                f"{self.gflop_per_s(t):.3f} Gflop/s, "
+                f"{self.min_gb_per_s(t):.1f} to {self.max_gb_per_s(t):.1f} "
+                f"GB/s)"]
         out = []
         for t in self.times:
             out.append(
@@ -233,7 +264,10 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
         except Exception:
             warning = None
         return BenchResult(times, metrics, yk, protocol, hbm_peak,
-                           warning=warning)
+                           warning=warning,
+                           actual_bytes=estimate_actual_bytes(
+                               matrix if metrics_matrix is None
+                               else metrics_matrix))
 
     if protocol == "chained":
         if matrix.num_rows != matrix.num_columns:
@@ -348,11 +382,15 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
             hi2 = min(hi2, 4096)
             if hi2 > 2 * hi:
                 per_iter, out = measure(lo, hi2)
+                hi = hi2
         y_out = out[1]
         if dd_chain is not None:
             from ellspmv_tpu.ops.dd_vec import dd_to_f64
             y_out = dd_to_f64(y_out)
         return BenchResult([per_iter] * repeat, metrics, y_out, protocol,
-                           hbm_peak)
+                           hbm_peak, span_iters=hi,
+                           actual_bytes=estimate_actual_bytes(
+                               matrix if metrics_matrix is None
+                               else metrics_matrix))
 
     raise ValueError(f"unknown protocol {protocol!r}")

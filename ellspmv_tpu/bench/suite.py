@@ -51,6 +51,7 @@ def run_suite(quick: bool = False, as_json: bool = False,
     results = []
 
     def record(name, res, note=""):
+        act = res.actual_gb_per_s()
         row = {
             "config": name,
             "best_s": res.best,
@@ -58,14 +59,36 @@ def run_suite(quick: bool = False, as_json: bool = False,
             "gflop_per_s": res.gflop_per_s(),
             "min_gb_per_s": res.min_gb_per_s(),
             "max_gb_per_s": res.max_gb_per_s(),
-            "roofline": res.roofline_fraction(),
+            "roofline_effective": res.roofline_fraction(),
+            # physical columns (bench/traffic.py): the effective roofline
+            # is the reference min-bytes MODEL and can exceed 1.0 for
+            # formats that store less than ELLPACK; this one cannot
+            "actual_bytes": res.actual_bytes,
+            "actual_gb_per_s": act,
+            "roofline_physical": res.physical_roofline(),
             "note": note,
         }
         results.append(row)
+        phys = "    --     " if act is None else \
+            f"{act:6.1f} GB/s ({100 * res.physical_roofline():5.1f}%)"
         stream.write(
             f"{name:34s} {res.best * 1e3:9.3f} ms  "
-            f"{res.gnz_per_s():7.2f} Gnz/s  {res.min_gb_per_s():7.1f} GB/s "
-            f" {100 * res.roofline_fraction():5.1f}% roof  {note}\n")
+            f"{res.gnz_per_s():7.2f} Gnz/s  eff {res.min_gb_per_s():7.1f} "
+            f"GB/s ({100 * res.roofline_fraction():5.1f}%)  phys {phys}  "
+            f"{note}\n")
+
+    # --- measured vs nominal HBM peak (VERDICT r2 item 6) -----------------
+    if jax.devices()[0].platform == "tpu":
+        from ellspmv_tpu.bench.stream import measure_peak_bandwidth
+        from ellspmv_tpu.config import hbm_peak_bytes_per_s
+        measured = measure_peak_bandwidth(log=stream)
+        nominal = hbm_peak_bytes_per_s()
+        stream.write(f"{'hbm peak measured/nominal':34s} "
+                     f"{measured / 1e9:7.1f} / {nominal / 1e9:.1f} GB/s "
+                     f"({100 * measured / nominal:.1f}%)\n")
+        results.append({"config": "hbm_peak",
+                        "measured_gb_per_s": measured / 1e9,
+                        "nominal_gb_per_s": nominal / 1e9})
 
     # --- config 0: golden correctness -------------------------------------
     rows = np.array([0, 0, 1, 2, 3, 3, 3, 3, 3], np.int32)
@@ -141,7 +164,13 @@ def run_suite(quick: bool = False, as_json: bool = False,
     # is exactly the blowup this config exists to avoid (373 GiB at full
     # size)
     ellsize_pad = n * int(np.bincount(coo.rowidx, minlength=n).max())
+    t0 = time.perf_counter()
     strm = stream_from_coo(coo, value_dtype=np.float64)
+    t_conv = time.perf_counter() - t0
+    stream.write(f"{'config3 stream_from_coo':34s} {t_conv:9.3f} s host "
+                 f"plan build ({coo.num_nonzeros:,} nnz)\n")
+    results.append({"config": "config3 stream_from_coo",
+                    "convert_s": t_conv, "nnz": int(coo.num_nonzeros)})
     note = (f"{strm.worksize:,} entries (padding-free) vs padded ELL "
             f"{ellsize_pad:,} slots, {len(strm.ddsum.levels)} sum "
             "levels")
@@ -161,6 +190,27 @@ def run_suite(quick: bool = False, as_json: bool = False,
     record("config3 power-law hub-hybrid f64", _bench(hyb, x, 3),
            note=f"hub {100 * hyb.hub_nnz_fraction:.0f}% (windowed-scan "
                 "comparison)")
+
+    # --- dense-rows class: few long random rows over a local bulk --------
+    # (constraint/boundary rows; the SELL length-sort + long-row split
+    # class — VERDICT r2 item 8). auto must pick the measured-fastest.
+    from ellspmv_tpu.formats.auto import auto_from_coo as _auto
+    from ellspmv_tpu.models.generators import dense_rows
+    n = 1_000_000 // scale
+    coo = dense_rows(n, 8, num_dense=16, dense_nnz=n // 8, seed=0)
+    x = np.random.RandomState(3).rand(n)
+    mat = _auto(coo, sort_rows=True, value_dtype=np.float64)
+    chosen = getattr(mat, "_auto_choice", type(mat).__name__.lower())
+    mat = mat.device_put()
+    record("config-dense-rows auto f64", _bench(mat, x, 8),
+           note=f"auto={chosen}")
+    got = np.asarray(spmv(mat, x), np.float64)
+    want = coo_spmv_numpy(coo, x)
+    derr = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-300)
+    stream.write(f"{'config-dense-rows oracle':34s} normwise err "
+                 f"{derr:.2e}\n")
+    results.append({"config": "config-dense-rows oracle",
+                    "normwise_err": float(derr)})
 
     # --- config 4: sharded SpMV + CG -------------------------------------
     import jax as _jax

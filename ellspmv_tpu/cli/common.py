@@ -537,11 +537,14 @@ def _kernel_name(fmt: str, opts, mat) -> str:
     if fmt == "ell":
         if opts.format == "auto":
             from ellspmv_tpu.formats.dia import DiaMatrix
+            from ellspmv_tpu.formats.sell import SellMatrix
             from ellspmv_tpu.formats.stream import StreamMatrix
             if isinstance(mat, StreamMatrix):
                 return "gemv_stream"
             if isinstance(mat, DiaMatrix):
                 return "gemv_dia"
+            if isinstance(mat, SellMatrix):
+                return "gemv_sell"
         elif opts.format not in (None, "ell"):
             return f"gemv_{opts.format}"
         if opts.separate_diagonal and mat.rowsize == 16:
@@ -559,16 +562,21 @@ def _metrics_report(res, opts, log):
     (papi_util.c:424-494), honoring the plain/csv format switch."""
     m = res.metrics
     t = res.best
+    act = res.actual_gb_per_s()
     if opts.papi_event_format == "csv":
         log.write("region,repeat,time,nonzeros,flops,min_bytes,max_bytes,"
                   "gnz_per_s,gflop_per_s,min_gb_per_s,max_gb_per_s,"
-                  "hbm_peak_gb_per_s,roofline_fraction\n")
+                  "hbm_peak_gb_per_s,roofline_fraction,"
+                  "actual_bytes,actual_gb_per_s,physical_roofline\n")
         log.write(f"gemv,{len(res.times)},{t:.9f},{m.num_nonzeros},"
                   f"{m.num_flops},{m.min_bytes},{m.max_bytes},"
                   f"{res.gnz_per_s():.3f},{res.gflop_per_s():.3f},"
                   f"{res.min_gb_per_s():.3f},{res.max_gb_per_s():.3f},"
                   f"{res.hbm_peak / 1e9:.1f},"
-                  f"{res.roofline_fraction():.4f}\n")
+                  f"{res.roofline_fraction():.4f},"
+                  + ("," if act is None else
+                     f"{res.actual_bytes},{act:.3f},"
+                     f"{res.physical_roofline():.4f}") + "\n")
         return
     log.write("Region: gemv\n")
     log.write(f"  iterations: {len(res.times)}\n")
@@ -582,7 +590,12 @@ def _metrics_report(res, opts, log):
               f"{res.max_gb_per_s():.1f} GB/s\n")
     log.write(f"  HBM roofline: {res.hbm_peak / 1e9:.1f} GB/s peak -> "
               f"{100 * res.roofline_fraction():.1f}% of peak "
-              "(min-bytes model)\n")
+              "(min-bytes model; formats that store less than ELLPACK can "
+              "exceed 100%)\n")
+    if act is not None:
+        log.write(f"  physical traffic: {res.actual_bytes:,} bytes/iter "
+                  f"(device plan) -> {act:.1f} GB/s = "
+                  f"{100 * res.physical_roofline():.1f}% of raw HBM\n")
 
 
 def _workload_summary(sharded) -> list[str]:

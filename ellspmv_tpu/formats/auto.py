@@ -29,15 +29,63 @@ _STREAM_FIXED_NS = 3e5
 # ELL padding acceptance: beyond this blowup the dense slot arrays cost
 # more HBM traffic than the stream's sort movement.
 _MAX_PAD_RATIO = 4.0
+# Measured v5e fallback rates for the unplanned paths (BENCH_NOTES):
+# XLA element gathers run ~80 Melem/s and the segment-sum scatter
+# ~8 Melem/s — both hardware floors, not tunables.
+_XLA_GATHER_NS = 12.5
+_SEGSUM_NS = 125.0
+
+
+def _price_sell(sm, dd: bool) -> float:
+    """Estimated ns per SpMV for a SellMatrix: per-bucket planner cycle
+    estimates (XLA gather rate for plan-less buckets), the CSR tail's
+    segment-sum scatter, and the reassembly passes at the calibrated HBM
+    rate. Host-side only — no device arrays are built for rejected
+    candidates."""
+    from ellspmv_tpu.bench import calibrate
+    from ellspmv_tpu.ops import plan as plan_mod
+
+    vb = 8 if dd else 4
+    cyc = calibrate.get("cycles_per_s")
+    hbm_per_s = calibrate.get("hbm_bytes_per_cycle") * cyc
+    ns = _STREAM_FIXED_NS        # a few fixed kernel launches
+    for b in sm.buckets:
+        p = plan_mod.best_plan(
+            b, value_dtype=np.float64 if dd else np.float32)
+        if p is None:
+            ns += b.ellsize * _XLA_GATHER_NS
+        else:
+            est = plan_mod.estimate_cycles(p, vb, dd) / cyc * 1e9
+            ks_exec = (float(p.qb[:, 1, :].max(axis=0).mean())
+                       if p.qb.size else p.KS)
+            if ks_exec > 16:
+                # Deep select-scans (random columns: each slot scans ~the
+                # whole window): the cycle model's gather-op count
+                # underestimates the dynamic slot loop ~6x there —
+                # measured on the power-law windowed hybrid's degenerate
+                # rest buckets (BENCH_NOTES round 1, 19 of 27.4 ms in the
+                # two widest buckets vs the model's ~3 ms).
+                est *= 6.0
+            ns += est
+    if sm.tail is not None:
+        ns += sm.tailsize * _SEGSUM_NS
+    n_sub = sm.num_sub_rows if sm.num_sub_rows is not None else sm.num_rows
+    if not sm.trivial_reassembly:
+        ns += 3 * n_sub * vb / hbm_per_s * 1e9
+    if sm.extra_rows is not None:
+        ns += 3 * len(np.asarray(sm.extra_rows)) * vb / hbm_per_s * 1e9
+    return ns
 
 
 def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                   sort_rows: bool = True, value_dtype=None,
                   index_dtype=None, allow_dia: bool = True):
-    """Return the cheaper of (planned ELLPACK, stream) for this matrix.
+    """Return the cheapest of (DIA, planned ELLPACK, SELL-split, stream)
+    for this matrix, priced with the per-device calibration.
 
     The decision is recorded on the returned matrix as `_auto_choice`
-    ('ell' or 'stream') with `_auto_reason` for verbose reporting.
+    ('dia', 'ell', 'sell' or 'stream') with `_auto_reason` for verbose
+    reporting.
     """
     from ellspmv_tpu.formats.ell import ell_from_coo
     from ellspmv_tpu.formats.stream import stream_from_coo
@@ -60,11 +108,39 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         object.__setattr__(sm, "_auto_reason", reason)
         return sm
 
-    if ellsize > _MAX_PAD_RATIO * nnz and ellsize > 1 << 20:
-        return pick_stream(
-            f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)")
-
     from ellspmv_tpu.bench import calibrate
+
+    if ellsize > _MAX_PAD_RATIO * nnz and ellsize > 1 << 20:
+        # ELLPACK is dead (rows x max-row-nnz padding, ellspmv.c:955).
+        # Two live candidates: the sort-based stream, and the SELL
+        # length-sort + long-row split (few ultra-long rows over a LOCAL
+        # bulk: the bulk keeps narrow windowed plans and only the split
+        # sub-rows pay scans — the dense-rows class). Hub-hybrid is
+        # subsumed: its rest part is priced exactly like these buckets
+        # and its hub gather passes make it strictly worse on v5e
+        # (BENCH_NOTES: 27.4 ms hybrid vs 1.7 ms stream at 125k rows).
+        blow = f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)"
+        stream_ns = (calibrate.get("stream_ns_per_nnz") * nnz
+                     + _STREAM_FIXED_NS)
+        from ellspmv_tpu.formats.sell import sell_from_coo
+        try:
+            sell = sell_from_coo(coo, sort_rows=True, length_sort=True,
+                                 value_dtype=value_dtype,
+                                 index_dtype=index_dtype)
+            sell_ns = _price_sell(sell, dd)
+        except MemoryError:
+            sell, sell_ns = None, float("inf")
+        if sell is not None and sell_ns < stream_ns:
+            object.__setattr__(sell, "_auto_choice", "sell")
+            object.__setattr__(
+                sell, "_auto_reason",
+                f"{blow}; SELL split (est {sell_ns / 1e6:.3f} ms <= "
+                f"stream {stream_ns / 1e6:.3f} ms)")
+            return sell
+        return pick_stream(
+            f"{blow}"
+            + (f"; stream (est {stream_ns / 1e6:.3f} ms < SELL "
+               f"{sell_ns / 1e6:.3f} ms)" if sell is not None else ""))
 
     # DIA: when the matrix lives on a handful of dense diagonals, the
     # gather-free resident-x kernel is the cheapest formulation; price it

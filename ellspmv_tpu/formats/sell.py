@@ -178,22 +178,37 @@ def sell_from_coo(coo: CooMatrix, slice_rows: int = 1024,
         first = np.full(n, m, np.int64)
         np.minimum.at(first, coo.rowidx, coo.colidx.astype(np.int64))
         lb = np.ceil(np.log2(np.maximum(cnt0, 1))).astype(np.int64)
-        perm = np.lexsort((first, -lb))              # old row at position k
+        band = first // max(split_cols, 1)
+        perm = np.lexsort((first, band, -lb))        # old row at position k
         # pad each length group to a slice multiple: a slice straddling a
         # group boundary would mix the highest first-columns of one group
         # with the lowest of the next, and that single slice's full-range
-        # window span poisons the global K128/KS maxima of its bucket
+        # window span poisons the global K128/KS maxima of its bucket.
+        # Within a length group, additionally pad each column BAND group
+        # (first // split_cols) to the kernel's 128-row tile granularity:
+        # split sub-rows of uniform-random parents are order-statistic
+        # narrow WITHIN one band, but a 128-row tile straddling two bands
+        # has union windows (ks ~ band span) — band-aligned tiles keep
+        # ks at the order-statistic level (the dense-rows class).
         lb_sorted = lb[perm]
-        starts = np.flatnonzero(
-            np.concatenate([[True], lb_sorted[1:] != lb_sorted[:-1]]))
+        band_sorted = band[perm]
+        new_lb = np.concatenate([[True],
+                                 lb_sorted[1:] != lb_sorted[:-1]])
+        new_grp = new_lb | np.concatenate(
+            [[True], band_sorted[1:] != band_sorted[:-1]])
+        starts = np.flatnonzero(new_grp)
         sizes = np.diff(np.concatenate([starts, [n]]))
-        padded = -(-sizes // R) * R
-        pad_base = np.concatenate([[0], np.cumsum(padded)])
-        group_of = np.repeat(np.arange(len(starts)), sizes)
-        pos_sorted = pad_base[group_of] + (np.arange(n) - starts[group_of])
+        pos_sorted = np.empty(n, np.int64)
+        cum = 0
+        for g in range(len(starts)):
+            gran = R if new_lb[starts[g]] else 128
+            cum = -(-cum // gran) * gran
+            s0, sz = starts[g], sizes[g]
+            pos_sorted[s0:s0 + sz] = cum + np.arange(sz)
+            cum += sz
         inv = np.empty(n, np.int64)
         inv[perm] = pos_sorted
-        n_eff = int(pad_base[-1])                    # includes gap rows
+        n_eff = _round_up(cum, R)                    # includes gap rows
         coo = CooMatrix(n_eff, m, inv[coo.rowidx], coo.colidx, coo.values)
         n = n_eff
         row_unperm = inv                              # y_nat = y_sorted[inv]

@@ -154,12 +154,23 @@ def power_law(n: int, avg_nnz_per_row: int, alpha: float = 1.8,
 
 
 def dense_rows(n: int, base_nnz: int, num_dense: int, dense_nnz: int,
-               seed: int = 0, value_dtype=np.float64) -> CooMatrix:
-    """Mostly-uniform matrix with a few very long rows — the worst case for
-    plain ELL (rowsize = dense_nnz for every row)."""
+               bandwidth: int | None = None, seed: int = 0,
+               value_dtype=np.float64) -> CooMatrix:
+    """Mostly-local matrix with a few very long random rows — constraint
+    rows (Lagrange multipliers, normalization/boundary conditions) on top
+    of a banded FEM-like bulk. The worst case for plain ELL (rowsize =
+    dense_nnz for EVERY row, ellspmv.c:955) and the class where the SELL
+    length-sort + long-row split wins: the local bulk keeps narrow windowed
+    plans while the few dense rows split into bounded sub-rows.
+
+    `bandwidth` bounds the bulk rows' column offsets (default
+    32*base_nnz); the `num_dense` long rows draw columns uniformly."""
     rng = np.random.RandomState(seed)
+    if bandwidth is None:
+        bandwidth = 32 * base_nnz
     rows = np.repeat(np.arange(n, dtype=np.int64), base_nnz)
-    cols = rng.randint(0, n, len(rows))
+    off = rng.randint(-bandwidth, bandwidth + 1, size=len(rows))
+    cols = np.clip(rows + off, 0, n - 1)
     drows = rng.choice(n, num_dense, replace=False)
     rows = np.concatenate([rows, np.repeat(drows, dense_nnz)])
     cols = np.concatenate([cols,

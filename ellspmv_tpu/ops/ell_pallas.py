@@ -929,6 +929,11 @@ def get_plan(ell, **kw):
             candidates.append(("offset", u))
     candidates += [("offset", min(3 * S // 2, cap)),
                    ("offset", min(2 * S, cap)),
+                   # pair-window ranges: ks <= 2 by CONSTRUCTION at any
+                   # tile size (interval-covering capacities, Hall's
+                   # condition) — beats the tile-max wall that flattens
+                   # block buckets on banded-random matrices
+                   ("pair", None),
                    # gather-block-aligned capacities: the banded-RANDOM
                    # shape (no diagonal structure, ks stuck ~4 under
                    # offset quantiles) drops to ks ~1.3 here

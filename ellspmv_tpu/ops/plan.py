@@ -492,6 +492,17 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None,
     banded-RANDOM matrices, where offset quantile buckets still span
     several blocks (ks ~4) because entries have no diagonal structure.
 
+    key='pair': slot ranges DECLARED to span adjacent rebased-block pairs
+    {i, i+1} (ks <= 2 by construction at ANY tile size, since the span is
+    a global property of the range, not a tile max). Range capacities come
+    from an exact interval-covering solve (Hall's condition: for every
+    block interval the intersecting capacities cover the max per-row
+    count, so the per-row greedy fill never overflows). This removes the
+    tile-max wall that flattens 'block' buckets on banded-random matrices:
+    there, ks is the span max over a tile's rows, so one spill anywhere
+    poisons the slot. `widen_to`/`quantile` are ignored (the solve sizes
+    the slot space itself).
+
     `widen_to` pads the slot space to S_out > S: full rows have no slack
     for bucketing (every slot is taken, so slots stay rank-ordered and
     each spans the whole column range); extra slots give entries room to
@@ -511,9 +522,11 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None,
 
     S = ell.rowsize
     S_out = S if widen_to is None else max(int(widen_to), S)
-    if S < 1 or (key in ("offset", "block")
+    if S < 1 or (key in ("offset", "block", "pair")
                  and ell.num_rows != ell.num_columns):
         return ell
+    if key == "pair":
+        return _rebucket_pair(ell)
     if S_out == S and S <= 1:
         return ell
     cols = np.asarray(ell.colidx)
@@ -616,3 +629,91 @@ def rebucket_slots(ell, key: str = "offset", widen_to: int | None = None,
                      num_nonzeros=ell.num_nonzeros)
 
 
+
+def _pair_caps(cnt: np.ndarray) -> np.ndarray:
+    """Exact minimal total capacity for slot ranges i={i, i+1},
+    i=0..nb-2, via the rightmost-greedy interval cover (the integral
+    optimum for interval covering with unit costs): after the pass, for
+    every block interval [a, b] the intersecting capacities sum to at
+    least max over rows of the interval's entry count (Hall's condition),
+    so the per-row greedy fill in `_rebucket_pair` cannot overflow."""
+    n_pad, nb = cnt.shape
+    P = np.zeros((n_pad, nb + 1), np.int64)
+    np.cumsum(cnt, axis=1, out=P[:, 1:])
+    caps = np.zeros(max(nb - 1, 1), np.int64)
+    for b in range(nb):                    # right endpoint, ascending
+        for a in range(b + 1):
+            need = int((P[:, b + 1] - P[:, a]).max())
+            lo, hi = max(a - 1, 0), min(b, nb - 2)
+            have = int(caps[lo:hi + 1].sum())
+            if have < need:
+                caps[hi] += need - have
+    return caps
+
+
+def _rebucket_pair(ell):
+    """Pair-window slot assignment (rebucket_slots key='pair'): each slot
+    range i only holds entries of slope-1 rebased blocks {i, i+1}, so the
+    planner's per-slot span is <= 2 gather blocks at any tile size."""
+    from ellspmv_tpu.formats.ell import EllMatrix
+
+    cols = np.asarray(ell.colidx)
+    vals = np.asarray(ell.values)
+    n_pad, S = cols.shape
+    real = vals != 0
+    if not real.any():
+        return ell
+    rows = np.arange(n_pad, dtype=np.int64)[:, None]
+    blk = (cols.astype(np.int64) - ((rows >> 7) << 7)) >> 7   # slope-1
+    bmin = int(blk[real].min())
+    blk = np.where(real, blk - bmin, 0)
+    nb = int(blk[real].max()) + 1
+    if nb < 2 or nb > 64:
+        return ell            # no pairing to do / O(nb^2) solve too wide
+    cnt = np.zeros((n_pad, nb), np.int32)
+    for b in range(nb):
+        cnt[:, b] = ((blk == b) & real).sum(axis=1)
+    caps = _pair_caps(cnt)
+    S_out = int(caps.sum())
+    if S_out > MAX_ROWSIZE or S_out < S:
+        return ell
+    base = np.concatenate([[0], np.cumsum(caps)])
+    # greedy per row, blocks left to right: block b fills range b-1's
+    # leftover first (that range expires after b), then range b
+    l = np.zeros((n_pad, nb), np.int32)
+    r = np.zeros((n_pad, nb), np.int32)
+    remL = np.zeros(n_pad, np.int32)
+    for b in range(nb):
+        n_b = cnt[:, b]
+        l[:, b] = np.minimum(n_b, remL)
+        rest = n_b - l[:, b]
+        cap_b = int(caps[b]) if b < nb - 1 else 0
+        r[:, b] = np.minimum(rest, cap_b)
+        remL = cap_b - r[:, b]
+    if ((l.sum(axis=1) + r.sum(axis=1)) != cnt.sum(axis=1)).any():
+        return ell            # Hall violated — solver bug guard
+    # slot index per entry: within range i, block i's right entries come
+    # first (columns ascending), then block i+1's left entries
+    idx_in_blk = np.zeros((n_pad, S), np.int32)
+    for b in range(nb):
+        m = (blk == b) & real
+        idx_in_blk[m] = (np.cumsum(m, axis=1) - 1)[m]
+    lb = l[np.arange(n_pad)[:, None], blk]
+    prev_r = r[np.arange(n_pad)[:, None], np.maximum(blk - 1, 0)]
+    is_left = idx_in_blk < lb
+    slot = np.where(
+        is_left,
+        base[np.maximum(blk - 1, 0)] + prev_r + idx_in_blk,
+        base[np.minimum(blk, len(caps) - 1)] + (idx_in_blk - lb))
+    slot = np.where(real, slot, -1)
+
+    pad_col = np.minimum(np.arange(n_pad), max(ell.num_columns - 1, 0))
+    new_cols = np.broadcast_to(pad_col[:, None], (n_pad, S_out)).astype(
+        cols.dtype).copy()
+    new_vals = np.zeros((n_pad, S_out), vals.dtype)
+    rr = np.nonzero(real)
+    new_cols[rr[0], slot[rr]] = cols[rr]
+    new_vals[rr[0], slot[rr]] = vals[rr]
+    return EllMatrix(colidx=new_cols, values=new_vals, diag=ell.diag,
+                     num_rows=ell.num_rows, num_columns=ell.num_columns,
+                     num_nonzeros=ell.num_nonzeros)

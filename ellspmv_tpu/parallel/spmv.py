@@ -357,7 +357,46 @@ def sharded_spmv_fn(sm: ShardedMatrix, backend: str = "auto"):
         out_phys = fn_physical(x_phys, y_phys, *args)
         return sm.from_physical_y(out_phys)
 
+    _attach_traceable(fn, sm, mapped, args, val_dt)
     return fn
+
+
+def _attach_traceable(fn, sm: ShardedMatrix, mapped, args, val_dt):
+    """Give a sharded spmv fn the `.traceable = (operand, fn)` form the
+    bench harness's chained protocol jits (mirroring the sharded stream's,
+    parallel/stream.py): matrix/plan arrays ride as jit ARGUMENTS and the
+    physical<->logical layout transforms trace (sharding expressed via
+    `with_sharding_constraint`, not `device_put`). Without this,
+    ``ellspmv --devices=N --protocol=chained`` jitted the non-pytree
+    ShardedMatrix itself and crashed (the reference's timed loop works
+    under every partition flag, ellspmv.c:1821-1876)."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh, axis = sm.mesh, sm.mesh.axis_names[0]
+    n_dev = sm.mesh.devices.size
+    x_shard = NamedSharding(mesh, P(axis))
+    m_pad = sm.x_block * n_dev
+    phys_rows = sm.block * n_dev
+    x_physical = sm.x_physical
+
+    def traceable_fn(op, x, y=None):
+        unperm = op[0]
+        rest = op[1:]
+        x = jnp.asarray(x, val_dt)
+        if x_physical:
+            x_phys = jnp.zeros(phys_rows, val_dt).at[unperm].set(x)
+        else:
+            x_phys = jnp.pad(x, (0, m_pad - x.shape[0]))
+        x_phys = jax.lax.with_sharding_constraint(x_phys, x_shard)
+        if y is None:
+            y_phys = jnp.zeros(phys_rows, val_dt)
+        else:
+            y_phys = jnp.zeros(phys_rows, val_dt).at[unperm].set(
+                jnp.asarray(y, val_dt))
+        return mapped(*rest, x_phys, y_phys)[unperm]
+
+    fn.traceable = ((sm.unpermute,) + tuple(args), traceable_fn)
 
 
 import collections
@@ -527,4 +566,5 @@ def sharded_pallas_spmv_fn(sm: ShardedMatrix):
             y_phys = sm.to_physical_y(jnp.asarray(y, val_dt))
         return sm.from_physical_y(fn_physical(x_phys, y_phys, *args))
 
+    _attach_traceable(fn, sm, mapped, args, val_dt)
     return fn

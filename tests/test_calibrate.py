@@ -103,3 +103,68 @@ def test_cost_model_reproduces_measured_row_tile_rankings():
               64: (245, 32, 64, 3.19, 72)}
     cb = {g: _cost(*banded[g], 8, True) for g in banded}
     assert cb[8] < cb[32] < cb[64], cb
+
+
+def test_auto_chooser_five_families(rng):
+    """VERDICT r2 item 8: the chooser must know every format class. With
+    the default (v5e-measured) calibration, each generator family maps to
+    its measured-fastest format at test scale: poisson/fem-mesh -> DIA
+    (gather-free), banded-random -> windowed ELL, power-law -> stream,
+    dense-rows (long random constraint rows over a local bulk) -> SELL
+    length-sort + split."""
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.dia import DiaMatrix
+    from ellspmv_tpu.formats.ell import EllMatrix
+    from ellspmv_tpu.formats.sell import SellMatrix
+    from ellspmv_tpu.formats.stream import StreamMatrix
+    from ellspmv_tpu.models.generators import (banded_random, dense_rows,
+                                               fem_mesh_2d, poisson2d,
+                                               power_law)
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.ops import spmv
+
+    cases = [
+        (poisson2d(64), DiaMatrix),
+        (fem_mesh_2d(64), DiaMatrix),
+        (banded_random(20000, 8, 64, seed=1), EllMatrix),
+        # power-law at >=60k rows: the sort-based stream wins (measured
+        # 16x over the windowed scans at 125k, BENCH_NOTES); below ~20k
+        # the chooser legitimately prefers SELL (the stream's fixed sort
+        # cost dominates tiny matrices)
+        (power_law(60000, 6, seed=2), StreamMatrix),
+        # dense-rows: a few long random constraint rows over a local bulk
+        # — the bulk keeps narrow windowed plans and the split sub-rows
+        # get band-aligned order-statistic windows, so SELL prices under
+        # the whole-matrix sort (at >=~30k rows; tiny instances tie)
+        (dense_rows(32768, 8, num_dense=4, dense_nnz=8192, seed=3),
+         SellMatrix),
+    ]
+    for coo, want_type in cases:
+        m = auto_from_coo(coo, value_dtype=np.float64)
+        assert isinstance(m, want_type), (
+            f"{want_type.__name__} expected, got {type(m).__name__} "
+            f"({getattr(m, '_auto_reason', '?')})")
+        # every choice still computes the right thing
+        x = rng.rand(coo.num_columns)
+        got = np.asarray(spmv(m.device_put(), x), np.float64)
+        want = coo_spmv_numpy(coo, x)
+        scale = max(np.max(np.abs(want)), 1.0)
+        assert np.max(np.abs(got - want)) / scale < 1e-11
+
+
+def test_auto_dense_rows_follows_calibration():
+    """The dense-rows branch prices SELL vs stream with the calibration:
+    an absurd stream price forces SELL, an absurd (slow) clock makes the
+    bucket plans astronomical and forces stream."""
+    from ellspmv_tpu.formats.auto import auto_from_coo
+    from ellspmv_tpu.formats.sell import SellMatrix
+    from ellspmv_tpu.formats.stream import StreamMatrix
+    from ellspmv_tpu.models.generators import dense_rows
+
+    coo = dense_rows(4096, 6, num_dense=2, dense_nnz=2048, seed=5)
+    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    m = auto_from_coo(coo, value_dtype=np.float64)
+    assert isinstance(m, SellMatrix), m._auto_reason
+    calibrate.inject({"stream_ns_per_nnz": 1e-6, "cycles_per_s": 1.0})
+    m2 = auto_from_coo(coo, value_dtype=np.float64)
+    assert isinstance(m2, StreamMatrix), m2._auto_reason

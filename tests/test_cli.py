@@ -376,3 +376,25 @@ def test_conversion_memory_error_clean(mtx_file, capsys, monkeypatch):
     rc, _, err = run_cli(ellspmv.main, [mtx_file], capsys)
     assert rc == 1
     assert "conversion failed" in err and "--format=stream" in err
+
+
+def test_chained_protocol_sharded(tmp_path, rng, capsys):
+    """The exact command VERDICT r2 found broken: --devices=N with
+    --protocol=chained must benchmark (one labeled slope line) instead of
+    exiting 'benchmark failed'."""
+    coo = random_coo(rng, 48, 48, 200)
+    p = str(tmp_path / "m.mtx")
+    write_matrix(p, coo)
+    rc, out, err = run_cli(
+        ellspmv.main,
+        ["-v", "--devices=8", "--protocol=chained", "--repeat=3", p],
+        capsys)
+    assert rc == 0, err
+    assert "benchmark failed" not in err
+    assert "slope" in err
+    rc2, _, err2 = run_cli(
+        csrspmv.main,
+        ["-v", "--devices=8", "--protocol=chained", "--repeat=3",
+         "--partition-nonzeros", p], capsys)
+    assert rc2 == 0, err2
+    assert "slope" in err2

@@ -477,3 +477,49 @@ def test_chunked_dynamic_scan_slope1():
                                        atol=rtol * scale)
     finally:
         del os.environ["ELLSPMV_TPU_PALLAS_INTERPRET"]
+
+
+def test_rebucket_pair_semantics_and_span():
+    """Pair-window slot assignment (rebucket_slots key='pair'): SpMV
+    results agree to summation-order ulp noise, every slot's slope-1
+    rebased span is <= 2 gather blocks BY CONSTRUCTION (at any tile
+    size), and the interval-covering capacities never overflow a row."""
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    from tests.conftest import assert_fp64_close
+
+    coo = banded_random(4096, 16, 512, seed=0)
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    e2 = rebucket_slots(ell, key="pair")
+    assert e2 is not ell
+    # no entries lost
+    assert int((np.asarray(e2.values) != 0).sum()) == \
+        int((np.asarray(ell.values) != 0).sum())
+    x = np.random.RandomState(1).rand(ell.num_columns)
+    assert_fp64_close(ell_spmv_numpy(e2, x), ell_spmv_numpy(ell, x))
+    # per-slot slope-1 span <= 2 blocks, independent of tile size
+    cols = np.asarray(e2.colidx)
+    real = np.asarray(e2.values) != 0
+    rows = np.arange(cols.shape[0], dtype=np.int64)[:, None]
+    blk = (cols.astype(np.int64) - ((rows >> 7) << 7)) >> 7
+    for s in range(e2.rowsize):
+        m = real[:, s]
+        if m.any():
+            assert blk[m, s].max() - blk[m, s].min() <= 1
+    # the planner sees the ks<=2 structure at a large tile size
+    p = plan_mod.build_plan(e2, row_tile=1024, slope=1,
+                            value_dtype=np.float64)
+    assert p is not None
+    assert int(p.qb[:, 1, :].max()) <= 2
+
+
+def test_rebucket_pair_non_square_noop(rng):
+    from ellspmv_tpu.formats.coo import CooMatrix
+    from ellspmv_tpu.ops.plan import rebucket_slots
+    rows = np.repeat(np.arange(64, dtype=np.int64), 3)
+    cols = rng.randint(0, 96, len(rows))
+    keys = rows * 96 + cols
+    _, keep = np.unique(keys, return_index=True)
+    coo = CooMatrix(64, 96, rows[keep].astype(np.int32),
+                    cols[keep].astype(np.int32), rng.randn(len(keep)))
+    ell = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64)
+    assert rebucket_slots(ell, key="pair") is ell
