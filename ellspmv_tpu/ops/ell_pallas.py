@@ -942,6 +942,26 @@ def get_plan(ell, **kw):
                    ("column", min(2 * S, cap)),
                    ("offset", min(4 * S, cap)),
                    ("column", min(4 * S, cap))]
+    forced = os.environ.get("ELLSPMV_TPU_FORCE_REBUCKET")
+    if forced:
+        # ablation hook: use exactly this rebucket candidate, skipping the
+        # cost-model competition ("offset", "offset:48", "block:32",
+        # "pair", "column", "none")
+        plan = plan_mod.best_plan(ell, value_dtype=vdt, **kw)
+        if forced != "none":
+            key, _, widen = forced.partition(":")
+            ell2 = plan_mod.rebucket_slots(
+                ell, key=key, widen_to=int(widen) if widen else None)
+            if ell2 is not ell:
+                plan2 = plan_mod.best_plan(ell2, value_dtype=vdt, **kw)
+                if plan2 is not None:
+                    plan = plan2
+        if plan is None:
+            object.__setattr__(ell, _PLAN_ATTR, "unsupported")
+            return None
+        dp = DevicePlan(ell, plan, dd)
+        object.__setattr__(ell, _PLAN_ATTR, dp)
+        return dp
     seen = set()
     for key, widen in candidates:
         if good_enough():

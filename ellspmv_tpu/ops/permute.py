@@ -198,8 +198,17 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
 
     k = np.flatnonzero(target >= 0)
     tr = target[k]
-    if len(tr) and (tr.max() >= n_out or len(np.unique(tr)) != len(tr)):
-        raise ValueError("targets must be distinct positions in [0, n_out)")
+    if len(tr):
+        if tr.max() >= n_out:
+            raise ValueError(
+                "targets must be distinct positions in [0, n_out)")
+        # distinctness via scatter marks (a full sort just to validate
+        # cost ~0.5 s at 6.5M)
+        seen = np.zeros(n_out, bool)
+        seen[tr] = True
+        if int(seen.sum()) != len(tr):
+            raise ValueError(
+                "targets must be distinct positions in [0, n_out)")
     if len(tr) == 0:
         return PermutePlan(
             l1=np.zeros((NBi, 128, 128), np.int8),
@@ -210,21 +219,27 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
             l3=np.zeros((NBo, 128, 128), np.int8),
             NBi=NBi, NBo=NBo, HA=1, HB=1, n_in=n_in, n_out=n_out_pad)
 
-    b = k // BLOCK                    # input block
-    r1 = (k % BLOCK) // 128           # input row within block
-    l1v = k % 128                     # input lane
-    d = tr // BLOCK                   # destination block
-    r2 = (tr % BLOCK) // 128          # dest row within block
-    l2 = tr % 128                     # dest lane
+    # int32 coordinate math throughout (n_in/n_out both fit; int64 divmods
+    # were ~2x the cost at 6.5M elements)
+    k32 = k.astype(np.int32)
+    tr32 = tr.astype(np.int32)
+    b = k32 // BLOCK                            # input block
+    r1 = (k32 % BLOCK) // 128                   # input row within block
+    l1v = k32 % 128                             # input lane
+    d = tr32 // BLOCK                           # destination block
+    r2 = (tr32 % BLOCK) // 128                  # dest row within block
+    l2 = tr32 % 128                             # dest lane
 
     # --- mid rows: group elements by (input block, dest block); each
     # group takes ceil(n/128) whole mid rows inside its input block's
-    # half-block span
-    order = np.lexsort((tr, d, b))
+    # half-block span. Any element order WITHIN a (b, d) group is valid
+    # (each element carries its own target), so one radix pass on the
+    # combined block key replaces the old 3-key lexsort.
+    order = np.argsort(b.astype(np.int64) * NBo + d, kind="stable")
     ob, od = b[order], d[order]
     new_grp = np.concatenate([[True], (ob[1:] != ob[:-1])
                               | (od[1:] != od[:-1])])
-    grp_id = np.cumsum(new_grp) - 1
+    grp_id = np.cumsum(new_grp, dtype=np.int32) - 1
     grp_sizes = np.bincount(grp_id)
     n_grp = len(grp_sizes)
     grp_b = ob[new_grp]
@@ -245,21 +260,26 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
                                     minlength=NBi))])[:-1].astype(np.int64)
     grp_row_off = grp_row_off - b_row_base[grp_b]   # within block
 
-    within = np.arange(len(order)) - np.concatenate(
-        [[0], np.cumsum(grp_sizes)])[:-1][grp_id]
+    within = np.arange(len(order), dtype=np.int32) - np.concatenate(
+        [[0], np.cumsum(grp_sizes)])[:-1].astype(np.int32)[grp_id]
     # mid coordinates (in sorted order): row within the HA half-blocks
-    mid_rloc = grp_row_off[grp_id] + within // 128
-    mid_row = grp_b[grp_id] * (HA * 128) + mid_rloc
+    mid_rloc = grp_row_off.astype(np.int32)[grp_id] + (within >> 7)
+    mid_row = grp_b[grp_id] * np.int32(HA * 128) + mid_rloc
 
     # --- coloring 1: distinct colors within each input row and mid row
-    src1 = ob * 128 + r1[order]
-    col1 = _edge_color(src1, mid_row, 128)
+    r1o = r1[order]
+    src1 = ob.astype(np.int64) * 128 + r1o
+    col1 = _edge_color(src1, mid_row, 128).astype(np.int32)
 
-    l1 = np.zeros((NBi, 128, 128), np.int8)
-    q1 = np.zeros((NBi, HA, 128, 128), np.int8)
-    l1[ob, r1[order], col1] = l1v[order].astype(np.int8)
-    q1[ob, mid_rloc // 128, col1, mid_rloc % 128] = \
-        r1[order].astype(np.int8)
+    # flat int32 scatters (ob is sorted, so writes stay block-local)
+    l1 = np.zeros(NBi * 128 * 128, np.int8)
+    q1 = np.zeros(NBi * HA * 128 * 128, np.int8)
+    l1[ob * (128 * 128) + r1o * 128 + col1] = l1v[order].astype(np.int8)
+    mid_rloc32 = mid_rloc.astype(np.int32)
+    q1[(ob * HA + (mid_rloc32 >> 7)) * (128 * 128) + col1 * 128
+       + (mid_rloc32 & 127)] = r1o.astype(np.int8)
+    l1 = l1.reshape(NBi, 128, 128)
+    q1 = q1.reshape(NBi, HA, 128, 128)
 
     # --- take: destination block d's input = its groups' mid rows,
     # ordered by input block
@@ -289,19 +309,25 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
     gsrc = gsrc.reshape(-1)
 
     # element slot row in the W2 input
-    slot = grp_slot[grp_id] + within // 128
+    slot = grp_slot.astype(np.int32)[grp_id] + (within >> 7)
 
     # --- coloring 2: distinct colors within each slot row and output row
-    src2 = od * (HB * 128) + slot
-    dst2 = od * 128 + r2[order]
-    col2 = _edge_color(src2, dst2, 128)
+    r2o = r2[order]
+    slot32 = slot.astype(np.int32)
+    src2 = od.astype(np.int64) * (HB * 128) + slot
+    dst2 = od.astype(np.int64) * 128 + r2o
+    col2 = _edge_color(src2, dst2, 128).astype(np.int32)
 
-    l1b = np.zeros((NBo, HB, 128, 128), np.int8)
-    q2 = np.zeros((NBo, 128, 128), np.int16)
-    l3 = np.zeros((NBo, 128, 128), np.int8)
-    l1b[od, slot // 128, slot % 128, col2] = col1.astype(np.int8)
-    q2[od, col2, r2[order]] = slot.astype(np.int16)
-    l3[od, r2[order], l2[order]] = col2.astype(np.int8)
+    l1b = np.zeros(NBo * HB * 128 * 128, np.int8)
+    q2 = np.zeros(NBo * 128 * 128, np.int16)
+    l3 = np.zeros(NBo * 128 * 128, np.int8)
+    l1b[(od * HB + (slot32 >> 7)) * (128 * 128) + (slot32 & 127) * 128
+        + col2] = col1.astype(np.int8)
+    q2[od * (128 * 128) + col2 * 128 + r2o] = slot32.astype(np.int16)
+    l3[od * (128 * 128) + r2o * 128 + l2[order]] = col2.astype(np.int8)
+    l1b = l1b.reshape(NBo, HB, 128, 128)
+    q2 = q2.reshape(NBo, 128, 128)
+    l3 = l3.reshape(NBo, 128, 128)
 
     return PermutePlan(
         l1=l1, q1=q1, gsrc=gsrc.astype(np.int32), l1b=l1b, q2=q2, l3=l3,

@@ -323,14 +323,18 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     E = len(dest)
     valid = dest >= 0
     vpos = np.flatnonzero(valid)
-    rows_v = dest[vpos]
+    # int32 internals where the sizes allow: the stable argsort and the
+    # rank gathers are radix/cache-bound, so narrowing halves their cost
+    # (single-core plan-build time, VERDICT r2 item 4)
+    idt = np.int32 if max(E, n_rows) < 2**31 else np.int64
+    rows_v = dest[vpos].astype(idt, copy=False)
     counts = np.bincount(rows_v, minlength=n_rows).astype(np.int64)
 
     # rank of each entry within its row, by position order (stable)
     order = np.argsort(rows_v, kind="stable")
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    rank_sorted = np.arange(len(vpos)) - starts[rows_v[order]]
-    rank = np.empty(len(vpos), np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(idt)
+    rank_sorted = np.arange(len(vpos), dtype=idt) - starts[rows_v[order]]
+    rank = np.empty(len(vpos), idt)
     rank[order] = rank_sorted
 
     # split rows longer than cap into sub-rows of <= cap entries
@@ -339,7 +343,7 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
         nsub[counts == 0] = 0
     sub_base = np.concatenate([[0], np.cumsum(nsub)])
     n_vrows = int(sub_base[-1])
-    vrow = sub_base[rows_v] + rank // cap
+    vrow = (sub_base[rows_v] + rank // cap).astype(idt)
     vrank = rank % cap
     vcounts = np.full(n_vrows, cap, np.int64)
     has = nsub > 0
@@ -365,7 +369,7 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     sig_pos_of_rank = np.where(sig_pos_of_rank < n_multi_v,
                                sig_pos_of_rank,
                                n_multi_pad + sig_pos_of_rank - n_multi_v)
-    sig_of = np.empty(n_vrows, np.int64)
+    sig_of = np.empty(n_vrows, idt)
     sig_of[sigperm] = sig_pos_of_rank
     T_all = n_sig // R
     T0 = n_multi_pad // R                            # multi-group tiles
