@@ -237,3 +237,24 @@ def test_measure_peak_bandwidth_gate(monkeypatch):
     bw = measure_peak_bandwidth(size_mb=12, iters=8, log=log)
     nominal = hbm_peak_bytes_per_s()
     assert 0.05 * nominal <= bw <= 1.2 * nominal
+
+def test_actual_traffic_stream_and_sell(monkeypatch, rng):
+    """Traffic accounting covers the stream and SELL formats (approximate
+    but physical: plan leaves + stream round trips)."""
+    monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
+    from ellspmv_tpu.bench.traffic import estimate_actual_bytes
+    from ellspmv_tpu.formats.sell import sell_from_coo
+    from ellspmv_tpu.formats.stream import stream_from_coo
+    from ellspmv_tpu.models.generators import power_law
+
+    coo = power_law(2000, 5, seed=4)
+    strm = stream_from_coo(coo, value_dtype=np.float64)
+    b = estimate_actual_bytes(strm)
+    assert b is not None and b > coo.num_nonzeros * 8
+
+    sell = sell_from_coo(coo, sort_rows=True, length_sort=True,
+                         value_dtype=np.float64)
+    bs = estimate_actual_bytes(sell)
+    # buckets without plans return None (XLA gather traffic is
+    # data-dependent); with plans the count is positive
+    assert bs is None or bs > 0

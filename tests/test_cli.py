@@ -398,3 +398,10 @@ def test_chained_protocol_sharded(tmp_path, rng, capsys):
          "--partition-nonzeros", p], capsys)
     assert rc2 == 0, err2
     assert "slope" in err2
+
+
+def test_per_thread_single_device_note(mtx_file, capsys):
+    rc, _, err = run_cli(
+        ellspmv.main, ["-q", "--papi-event-per-thread", mtx_file], capsys)
+    assert rc == 0
+    assert "per-device" in err or "per-thread" in err
