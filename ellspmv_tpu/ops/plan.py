@@ -261,6 +261,18 @@ def _windows(smin, smax, nx128, max_ks, max_k128, extra_rows=0,
         K128 = nx128
     else:
         wbase128 = np.maximum(tile_min >> 7, 0)
+        if empty.any() and not empty.all():
+            # all-pad tiles would get window base 0 — harmless alone, but
+            # a base-0 tile next to a high-column tile poisons the JOINT
+            # supertile window (_super_k128 saw a full-image span on the
+            # stream product plan's tail tiles); inherit the previous real
+            # tile's base instead (backward-fill the leading ones)
+            idx = np.where(~empty, np.arange(len(wbase128)), -1)
+            last = np.maximum.accumulate(idx)
+            first_real = int(np.argmax(~empty))
+            src = np.where(last >= 0, last, first_real)
+            wbase128 = np.where(empty, wbase128[src], wbase128)
+            tile_max = np.where(empty, wbase128 << 7, tile_max)
         K128 = int(np.max((tile_max >> 7) - wbase128 + 1)) + extra_rows
         K128 = _round_up(max(K128, 1), 8)
         if K128 > nx128:
