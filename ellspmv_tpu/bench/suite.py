@@ -192,8 +192,9 @@ def run_suite(quick: bool = False, as_json: bool = False,
                 "comparison)")
 
     # --- dense-rows class: few long random rows over a local bulk --------
-    # (constraint/boundary rows; the SELL length-sort + long-row split
-    # class — VERDICT r2 item 8). auto must pick the measured-fastest.
+    # (constraint/boundary rows — VERDICT r2 item 8). auto must pick the
+    # measured-fastest: the routed stream (6.80 ms vs SELL split 30.6 ms
+    # at this scale, v5e round 3).
     from ellspmv_tpu.formats.auto import auto_from_coo as _auto
     from ellspmv_tpu.models.generators import dense_rows
     n = 1_000_000 // scale

@@ -22,9 +22,11 @@ import numpy as np
 
 from ellspmv_tpu.formats.coo import CooMatrix
 
-# Stream cost: ~stream_ns_per_nnz per element (per-device calibration,
-# bench/calibrate.py; measured v5e fallback) plus fixed per-kernel
-# overheads.
+# Stream cost: ~stream_routed_ns_per_nnz per element when the static
+# router replaces the runtime sorts (the usual case; sort rate when
+# ELLSPMV_TPU_NO_PERMUTE forces the fallback) plus fixed per-kernel
+# overheads (per-device calibration, bench/calibrate.py; measured v5e
+# fallbacks).
 _STREAM_FIXED_NS = 3e5
 # ELL padding acceptance: beyond this blowup the dense slot arrays cost
 # more HBM traffic than the stream's sort movement.
@@ -34,6 +36,17 @@ _MAX_PAD_RATIO = 4.0
 # ~8 Melem/s — both hardware floors, not tunables.
 _XLA_GATHER_NS = 12.5
 _SEGSUM_NS = 125.0
+
+
+def _stream_price(nnz: int) -> float:
+    """Estimated ns per SpMV for the stream format at this nnz."""
+    import os
+
+    from ellspmv_tpu.bench import calibrate
+    rate = ("stream_ns_per_nnz"
+            if os.environ.get("ELLSPMV_TPU_NO_PERMUTE")
+            else "stream_routed_ns_per_nnz")
+    return calibrate.get(rate) * nnz + _STREAM_FIXED_NS
 
 
 def _price_sell(sm, dd: bool) -> float:
@@ -112,16 +125,18 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
 
     if ellsize > _MAX_PAD_RATIO * nnz and ellsize > 1 << 20:
         # ELLPACK is dead (rows x max-row-nnz padding, ellspmv.c:955).
-        # Two live candidates: the sort-based stream, and the SELL
+        # Two live candidates: the sort-free routed stream, and the SELL
         # length-sort + long-row split (few ultra-long rows over a LOCAL
-        # bulk: the bulk keeps narrow windowed plans and only the split
-        # sub-rows pay scans — the dense-rows class). Hub-hybrid is
-        # subsumed: its rest part is priced exactly like these buckets
-        # and its hub gather passes make it strictly worse on v5e
-        # (BENCH_NOTES: 27.4 ms hybrid vs 1.7 ms stream at 125k rows).
+        # bulk — the dense-rows class). Measured v5e round 3 on that
+        # class at 1M rows: routed stream 6.80 ms vs SELL 30.6 ms
+        # (benchmarks/r3_hw_log.txt) — the routed rate usually wins; the
+        # price competition stays so a genuinely narrow-windowed SELL
+        # split can still take it. Hub-hybrid is subsumed: its rest part
+        # is priced exactly like these buckets and its hub gather passes
+        # make it strictly worse on v5e (BENCH_NOTES: 27.4 ms hybrid vs
+        # 1.7 ms stream at 125k rows).
         blow = f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)"
-        stream_ns = (calibrate.get("stream_ns_per_nnz") * nnz
-                     + _STREAM_FIXED_NS)
+        stream_ns = _stream_price(nnz)
         from ellspmv_tpu.formats.sell import sell_from_coo
         try:
             sell = sell_from_coo(coo, sort_rows=True, length_sort=True,
@@ -178,7 +193,7 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                        sort_rows=sort_rows, value_dtype=value_dtype,
                        index_dtype=index_dtype)
     dp = ell_pallas.get_plan(ell)
-    stream_ns = calibrate.get("stream_ns_per_nnz") * nnz + _STREAM_FIXED_NS
+    stream_ns = _stream_price(nnz)
     if dp is None:
         # no windowed plan (no column locality): XLA fallback would gather
         # element-wise (~80M elem/s on v5e) — stream wins beyond tiny n

@@ -38,14 +38,14 @@ def test_auto_chooser_follows_calibration(rng):
     calibrate.inject({"cycles_per_s": 1.0})
     m = auto_from_coo(coo, value_dtype=np.float64, allow_dia=False)
     assert isinstance(m, StreamMatrix)
-    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    calibrate.inject({"stream_routed_ns_per_nnz": 1e9})
     m = auto_from_coo(coo, value_dtype=np.float64, allow_dia=False)
     assert isinstance(m, EllMatrix)
 
     # power-law with huge stream price: ELL wins despite bad locality
     # (padding guard still applies, so keep it below the blowup limit)
     coo = power_law(600, 4, seed=1)
-    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    calibrate.inject({"stream_routed_ns_per_nnz": 1e9})
     m2 = auto_from_coo(coo, value_dtype=np.float64)
     assert isinstance(m2, EllMatrix) or m2._auto_choice == "ell"
 
@@ -110,8 +110,9 @@ def test_auto_chooser_five_families(rng):
     the default (v5e-measured) calibration, each generator family maps to
     its measured-fastest format at test scale: poisson/fem-mesh -> DIA
     (gather-free), banded-random -> windowed ELL, power-law -> stream,
-    dense-rows (long random constraint rows over a local bulk) -> SELL
-    length-sort + split."""
+    dense-rows (long random constraint rows over a local bulk) -> stream
+    (measured v5e round 3: routed stream 6.80 ms vs SELL split 30.6 ms at
+    1M rows / 9.8M nnz — benchmarks/r3_hw_log.txt)."""
     from ellspmv_tpu.formats.auto import auto_from_coo
     from ellspmv_tpu.formats.dia import DiaMatrix
     from ellspmv_tpu.formats.ell import EllMatrix
@@ -132,12 +133,10 @@ def test_auto_chooser_five_families(rng):
         # the chooser legitimately prefers SELL (the stream's fixed sort
         # cost dominates tiny matrices)
         (power_law(60000, 6, seed=2), StreamMatrix),
-        # dense-rows: a few long random constraint rows over a local bulk
-        # — the bulk keeps narrow windowed plans and the split sub-rows
-        # get band-aligned order-statistic windows, so SELL prices under
-        # the whole-matrix sort (at >=~30k rows; tiny instances tie)
+        # dense-rows: the routed stream wins on hardware (4.5x over the
+        # SELL split at 1M rows) and the routed-rate pricing reflects it
         (dense_rows(32768, 8, num_dense=4, dense_nnz=8192, seed=3),
-         SellMatrix),
+         StreamMatrix),
     ]
     for coo, want_type in cases:
         m = auto_from_coo(coo, value_dtype=np.float64)
@@ -162,9 +161,10 @@ def test_auto_dense_rows_follows_calibration():
     from ellspmv_tpu.models.generators import dense_rows
 
     coo = dense_rows(4096, 6, num_dense=2, dense_nnz=2048, seed=5)
-    calibrate.inject({"stream_ns_per_nnz": 1e9})
+    calibrate.inject({"stream_routed_ns_per_nnz": 1e9})
     m = auto_from_coo(coo, value_dtype=np.float64)
     assert isinstance(m, SellMatrix), m._auto_reason
-    calibrate.inject({"stream_ns_per_nnz": 1e-6, "cycles_per_s": 1.0})
+    calibrate.inject({"stream_routed_ns_per_nnz": 1e-6,
+                      "cycles_per_s": 1.0})
     m2 = auto_from_coo(coo, value_dtype=np.float64)
     assert isinstance(m2, StreamMatrix), m2._auto_reason
