@@ -327,4 +327,38 @@ def traceable_spmv_dd(matrix):
 
         return dp, fn_dia
 
+    from ellspmv_tpu.formats.stream import StreamMatrix
+    if isinstance(matrix, StreamMatrix):
+        # the stream pipeline is dd-native end-to-end (f32 product pairs
+        # through the router and run-realign sums); the pair form skips
+        # the emulated-f64 merge/split/accumulate glue that stream_spmv
+        # pays per call — inside the chained timing loop those XLA
+        # emulated-f64 vector passes are pure overhead on top of the
+        # kernels being measured
+        if not matrix.dd or matrix.prod is None:
+            return None
+        from ellspmv_tpu.formats.stream import stream_spmv  # noqa: F401
+        from ellspmv_tpu.ops.stream_sum import apply_stream_sum
+        interpret = (jax.devices()[0].platform != "tpu"
+                     or bool(os.environ.get(
+                         "ELLSPMV_TPU_PALLAS_INTERPRET")))
+        n, m = matrix.num_rows, matrix.num_columns
+        diag_pair = None
+        if matrix.diag is not None:
+            diag_pair = _pair_const(np.asarray(matrix.diag)[:n])
+
+        def fn_stream(op, x, y=None):
+            sm, dpair = op
+            ph, plo = sm.prod.apply_pair(x.hi, x.lo)
+            yh, yl = apply_stream_sum(sm.ddsum, ph, plo,
+                                      interpret=interpret)
+            out = DDVec(yh[:n], yl[:n])
+            if dpair is not None:
+                xi = jnp.minimum(jnp.arange(n), max(m - 1, 0))
+                out = dd_add(out, dd_mul(DDVec(*dpair),
+                                         DDVec(x.hi[xi], x.lo[xi])))
+            return out if y is None else dd_add(out, y)
+
+        return (matrix, diag_pair), fn_stream
+
     return None
