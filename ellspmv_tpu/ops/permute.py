@@ -191,10 +191,14 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
     by pre-ordering the input by destination megablock (a pure reorder —
     see formats/stream.py)."""
     target = np.asarray(target, np.int64)
-    n_in = _round_up(max(len(target), 1), BLOCK)
-    NBi = n_in // BLOCK
-    n_out_pad = _round_up(max(n_out, 1), BLOCK)
-    NBo = n_out_pad // BLOCK
+    # block counts padded to the kernel grid batch (pad blocks carry zero
+    # maps; the positions they produce are never read — outputs not
+    # covered by real targets are unspecified by contract)
+    NBi = _round_up(_round_up(max(len(target), 1), BLOCK) // BLOCK,
+                    GRID_BATCH)
+    n_in = NBi * BLOCK
+    NBo = _round_up(_round_up(max(n_out, 1), BLOCK) // BLOCK, GRID_BATCH)
+    n_out_pad = NBo * BLOCK
 
     k = np.flatnonzero(target >= 0)
     tr = target[k]
@@ -338,61 +342,74 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
 # Device kernels
 # --------------------------------------------------------------------------
 
-def _make_w1_kernel(HA: int, n_payload: int):
+# blocks folded into one grid step. MEASURED REGRESSION at 4 (config3
+# 4.10 -> 4.39 ms, v5e round 3): the grid-step overhead the batching
+# amortizes (~0.2 ms across W1+W2) is smaller than the pipeline-overlap
+# loss from 4x coarser double-buffering granularity. Default 1; the env
+# knob keeps the ablation reproducible.
+GRID_BATCH = int(__import__("os").environ.get("ELLSPMV_TPU_ROUTE_BATCH",
+                                              "1"))
+
+
+def _make_w1_kernel(HA: int, n_payload: int, B: int):
     def kernel(*refs):
         l1_ref, q1_ref = refs[:2]
         ins = refs[2:2 + n_payload]
         outs = refs[2 + n_payload:]
-        l1 = l1_ref[0].astype(jnp.int32)
-        for i in range(n_payload):
-            w = _lane_gather(ins[i][0], l1)    # color lanes
-            wt = w.T
-            for h in range(HA):
-                q = q1_ref[0, h].astype(jnp.int32)
-                outs[i][0, h] = _lane_gather(wt, q).T
+        for b in range(B):
+            l1 = l1_ref[b].astype(jnp.int32)
+            for i in range(n_payload):
+                w = _lane_gather(ins[i][b], l1)    # color lanes
+                wt = w.T
+                for h in range(HA):
+                    q = q1_ref[b, h].astype(jnp.int32)
+                    outs[i][b, h] = _lane_gather(wt, q).T
     return kernel
 
 
-def _make_w2_kernel(HB: int, n_payload: int):
+def _make_w2_kernel(HB: int, n_payload: int, B: int):
     def kernel(*refs):
         l1b_ref, q2_ref, l3_ref = refs[:3]
         ins = refs[3:3 + n_payload]
         outs = refs[3 + n_payload:]
-        q2 = q2_ref[0].astype(jnp.int32)
-        l3 = l3_ref[0].astype(jnp.int32)
-        qlo = jax.lax.bitwise_and(q2, jnp.int32(127))
-        qhi = jax.lax.shift_right_logical(q2, jnp.int32(7))
-        for i in range(n_payload):
-            zt = None
-            for h in range(HB):
-                lh = l1b_ref[0, h].astype(jnp.int32)
-                wt = _lane_gather(ins[i][0, h], lh).T
-                cand = _lane_gather(wt, qlo)
-                zt = cand if zt is None else jnp.where(
-                    qhi == jnp.int32(h), cand, zt)
-            outs[i][0] = _lane_gather(zt.T, l3)
+        for b in range(B):
+            q2 = q2_ref[b].astype(jnp.int32)
+            l3 = l3_ref[b].astype(jnp.int32)
+            qlo = jax.lax.bitwise_and(q2, jnp.int32(127))
+            qhi = jax.lax.shift_right_logical(q2, jnp.int32(7))
+            for i in range(n_payload):
+                zt = None
+                for h in range(HB):
+                    lh = l1b_ref[b, h].astype(jnp.int32)
+                    wt = _lane_gather(ins[i][b, h], lh).T
+                    cand = _lane_gather(wt, qlo)
+                    zt = cand if zt is None else jnp.where(
+                        qhi == jnp.int32(h), cand, zt)
+                outs[i][b] = _lane_gather(zt.T, l3)
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("HA", "NBi", "n", "interpret"))
 def _w1(l1, q1, *payloads, HA, NBi, n, interpret=False):
+    B = GRID_BATCH if NBi % GRID_BATCH == 0 else 1
+
     def im2(i):
         return (i, _i0(), _i0())
 
     def im3(i):
         return (i, _i0(), _i0(), _i0())
 
-    in_specs = ([pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, HA, 128, 128), im3,
+    in_specs = ([pl.BlockSpec((B, 128, 128), im2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((B, HA, 128, 128), im3,
                               memory_space=pltpu.VMEM)]
-                + [pl.BlockSpec((1, 128, 128), im2,
+                + [pl.BlockSpec((B, 128, 128), im2,
                                 memory_space=pltpu.VMEM)] * n)
-    out_specs = [pl.BlockSpec((1, HA, 128, 128), im3,
+    out_specs = [pl.BlockSpec((B, HA, 128, 128), im3,
                               memory_space=pltpu.VMEM) for _ in range(n)]
     outs = pl.pallas_call(
-        _make_w1_kernel(HA, n),
-        grid=(NBi,),
+        _make_w1_kernel(HA, n, B),
+        grid=(NBi // B,),
         in_specs=in_specs,
         out_specs=out_specs if n > 1 else out_specs[0],
         out_shape=([jax.ShapeDtypeStruct((NBi, HA, 128, 128), jnp.float32)
@@ -406,23 +423,25 @@ def _w1(l1, q1, *payloads, HA, NBi, n, interpret=False):
 @functools.partial(jax.jit,
                    static_argnames=("HB", "NBo", "n", "interpret"))
 def _w2(l1b, q2, l3, *payloads, HB, NBo, n, interpret=False):
+    B = GRID_BATCH if NBo % GRID_BATCH == 0 else 1
+
     def im2(i):
         return (i, _i0(), _i0())
 
     def im3(i):
         return (i, _i0(), _i0(), _i0())
 
-    in_specs = ([pl.BlockSpec((1, HB, 128, 128), im3,
+    in_specs = ([pl.BlockSpec((B, HB, 128, 128), im3,
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)]
-                + [pl.BlockSpec((1, HB, 128, 128), im3,
+                 pl.BlockSpec((B, 128, 128), im2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((B, 128, 128), im2, memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((B, HB, 128, 128), im3,
                                 memory_space=pltpu.VMEM)] * n)
-    out_specs = [pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((B, 128, 128), im2, memory_space=pltpu.VMEM)
                  for _ in range(n)]
     outs = pl.pallas_call(
-        _make_w2_kernel(HB, n),
-        grid=(NBo,),
+        _make_w2_kernel(HB, n, B),
+        grid=(NBo // B,),
         in_specs=in_specs,
         out_specs=out_specs if n > 1 else out_specs[0],
         out_shape=([jax.ShapeDtypeStruct((NBo, 128, 128), jnp.float32)
