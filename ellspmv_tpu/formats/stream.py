@@ -134,7 +134,11 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         n_groups = max(-(-nbo // blocks_per_group), 1)
         bpg = -(-nbo // n_groups)
         mega = (target[:nnz] // BLOCK) // bpg
-        pre = np.lexsort((cols, mega))
+        # single radix pass on the combined key (columns < 2^31 always —
+        # stats use int32 column arithmetic); a 2-key lexsort costs two
+        # full argsort passes at nnz scale
+        pre = np.argsort(mega * (np.int64(1) << 31)
+                         + cols.astype(np.int64), kind="stable")
         mega_s = mega[pre]
         # pad every megablock group to a BLOCK multiple: product-plan
         # tiles then never straddle a group boundary (a straddling tile's

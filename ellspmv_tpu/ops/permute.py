@@ -272,7 +272,7 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
 
     # --- coloring 1: distinct colors within each input row and mid row
     r1o = r1[order]
-    src1 = ob.astype(np.int64) * 128 + r1o
+    src1 = ob * np.int32(128) + r1o
     col1 = _edge_color(src1, mid_row, 128).astype(np.int32)
 
     # flat int32 scatters (ob is sorted, so writes stay block-local)
@@ -317,9 +317,9 @@ def build_permute(target: np.ndarray, n_out: int) -> PermutePlan:
 
     # --- coloring 2: distinct colors within each slot row and output row
     r2o = r2[order]
-    slot32 = slot.astype(np.int32)
-    src2 = od.astype(np.int64) * (HB * 128) + slot
-    dst2 = od.astype(np.int64) * 128 + r2o
+    slot32 = slot.astype(np.int32, copy=False)
+    src2 = od * np.int32(HB * 128) + slot32
+    dst2 = od * np.int32(128) + r2o
     col2 = _edge_color(src2, dst2, 128).astype(np.int32)
 
     l1b = np.zeros(NBo * HB * 128 * 128, np.int8)

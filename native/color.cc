@@ -162,7 +162,7 @@ static void split(Ctx &c, std::vector<int32_t> ids,
 extern "C" {
 
 // Colors edges; returns 0 on success. colors_out must hold n_edges bytes.
-int mtxio_edge_color(int64_t n_edges, const int64_t *src, const int64_t *dst,
+int mtxio_edge_color(int64_t n_edges, const int32_t *src, const int32_t *dst,
                      int64_t n_src, int64_t n_dst, int32_t max_colors,
                      uint8_t *colors_out) {
   if (n_edges == 0) return 0;
@@ -174,12 +174,9 @@ int mtxio_edge_color(int64_t n_edges, const int64_t *src, const int64_t *dst,
   c.n_src = n_src;
   c.n_dst = n_dst;
   c.colors.assign(n_edges, 0);
-  std::vector<int32_t> ids(n_edges), ls(n_edges), ld(n_edges);
-  for (int64_t i = 0; i < n_edges; i++) {
-    ids[i] = (int32_t)i;
-    ls[i] = (int32_t)src[i];
-    ld[i] = (int32_t)dst[i];
-  }
+  std::vector<int32_t> ids(n_edges);
+  std::vector<int32_t> ls(src, src + n_edges), ld(dst, dst + n_edges);
+  for (int64_t i = 0; i < n_edges; i++) ids[i] = (int32_t)i;
   split(c, std::move(ids), std::move(ls), std::move(ld), levels, 0);
   std::memcpy(colors_out, c.colors.data(), n_edges);
   return 0;
