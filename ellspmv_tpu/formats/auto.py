@@ -1,4 +1,5 @@
-"""Automatic format selection: windowed ELL vs sort-based stream.
+"""Automatic format selection: DIA vs windowed ELL vs SELL-split vs
+sort-free routed stream.
 
 The reference dispatches kernels on user flags (ellspmv.c:1834-1843); the
 TPU build adds a structural auto-tuner. The choice that matters on TPU is
