@@ -74,12 +74,20 @@ class StreamMatrix:
 
 
 def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
-                    value_dtype=None, cap: int = 128) -> StreamMatrix:
+                    value_dtype=None, cap: int | None = None
+                    ) -> StreamMatrix:
     """Build the stream plan: column-sort the entries, plan the rowsize-1
     product kernel, and build the (possibly multi-level) sum plan."""
     from ellspmv_tpu.ops import ell_pallas
     from ellspmv_tpu.ops import plan as plan_mod
     from ellspmv_tpu.ops.stream_sum import build_stream_sum
+
+    if cap is None:
+        # sub-row split length: rows <= cap complete at level 1. Larger
+        # caps shrink the multi prefix the deeper levels re-route, at the
+        # cost of taller sum windows (VMEM-bounded: ~256 is the ceiling
+        # for the dd kernel's double-buffered scratch).
+        cap = int(os.environ.get("ELLSPMV_TPU_SUM_CAP", "128"))
 
     coo = coo.expand_symmetry()
     n, m = coo.num_rows, coo.num_columns
