@@ -113,3 +113,26 @@ def test_permute_halfblock_budget():
     target[:n_blocks] = np.arange(n_blocks) * 16384
     with pytest.raises(ValueError):
         build_permute(target, n_blocks * 16384)
+
+
+def test_route_grid_batching_path(monkeypatch, rng):
+    """ELLSPMV_TPU_ROUTE_BATCH>1 (the measured-slower ablation path) must
+    stay correct: batched W1/W2 grids produce the identical permutation."""
+    import importlib
+
+    monkeypatch.setenv("ELLSPMV_TPU_ROUTE_BATCH", "2")
+    import ellspmv_tpu.ops.permute as P
+    importlib.reload(P)
+    try:
+        n = 5 * P.BLOCK
+        target = rng.permutation(n).astype(np.int64)
+        plan = P.build_permute(target, n)
+        assert plan.NBi % 2 == 0 and plan.NBo % 2 == 0
+        x = rng.rand(n).astype(np.float32)
+        (out,) = P.apply_permute(plan.device_put(), x, interpret=True)
+        want = np.zeros(plan.n_out, np.float32)
+        want[target] = x
+        np.testing.assert_array_equal(np.asarray(out)[target], x)
+    finally:
+        monkeypatch.delenv("ELLSPMV_TPU_ROUTE_BATCH")
+        importlib.reload(P)
