@@ -242,6 +242,15 @@ def benchmark_spmv(spmv_fn: Callable | None, matrix, x, y=None,
         spmv_fn = lambda m, xv, yv: _dispatch(m, xv, yv)
     if protocol == "per_iter":
         yk = None if y is None else jnp.asarray(y)
+        # Compile before the timed loop regardless of --warmup: the
+        # reference's iter-1 line is a real kernel because C is precompiled
+        # (its whole v1.10 timing fix, ellspmv.c:30-37, exists to time ONLY
+        # SpMV); one discarded dispatch per trace signature (y=None and
+        # y=array give different traces) plays that role here. --warmup
+        # stays about caches/iteration count (ellspmv.c:1745-1801), not
+        # codegen.
+        d1 = spmv_fn(matrix, x, yk)
+        _sync(spmv_fn(matrix, x, d1))
         for _ in range(warmup):
             yk = spmv_fn(matrix, x, yk)
         _sync(yk if yk is not None else x)
