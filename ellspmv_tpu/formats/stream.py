@@ -123,11 +123,12 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     # kernel's per-128-entry column locality.
     lvl1 = ddsum.levels[0]
     if nnz and not os.environ.get("ELLSPMV_TPU_NO_PERMUTE"):
-        keys = np.asarray(lvl1.keys)
-        srt = np.argsort(keys, kind="stable")
-        pos = np.empty(prod_len, np.int64)
-        pos[srt] = np.arange(prod_len)
-        target = np.where(keys == _I32_SENTINEL, np.int64(-1), pos)
+        keys_full = np.asarray(lvl1.keys)
+        # keys ARE the aligned stream positions (stream_sum aligned runs);
+        # [prod_len:] holds the gap-filler positions for the sort path
+        keys = keys_full[:prod_len]
+        target = np.where(keys == _I32_SENTINEL, np.int64(-1),
+                          keys.astype(np.int64))
         # megablock = up to 128 destination blocks (the router's W1
         # half-block budget); smaller override for test coverage.
         # BALANCED partition of the dest-block space: a fixed-size cut
@@ -183,7 +184,13 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             prod_len = prod_len2
             keys2 = np.full(prod_len2, _I32_SENTINEL, np.int32)
             keys2[pos2] = keys[:nnz][pre]
-            lvl1.keys = keys2
+            # keep the gap-filler positions (input order is irrelevant to
+            # them) so a later sort-path consumer stays correct
+            lvl1.keys = np.concatenate([keys2, keys_full[len(keys):]])
+            lvl1.in_len = prod_len2
+            # size the kernel's stream view to the router's padded output
+            # so the apply-side slice/pad copies disappear
+            lvl1.in_rows = max(lvl1.in_rows, lvl1.perm.n_out // 128)
     ddsum = ddsum.device_put()
 
     # rowsize-1 ELL over the (possibly re-ordered, group-padded) entries:

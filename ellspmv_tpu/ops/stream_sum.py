@@ -12,12 +12,18 @@ the random access into one sort plus dense passes:
   layout (rows sigma-sorted by descending count, tiles of R=1024 rows
   bucketed by pow2 slot count — the SELL-sigma idea applied to a sum
   schedule instead of a storage format);
-- ONE runtime `lax.sort` by those keys delivers every (tile, slot) group
-  as a contiguous run of the value stream, ordered by lane;
-- a Pallas kernel walks the runs: per slot it realigns the run onto the
-  (G, 128) lane grid (two lane-gathers — rows within a tile are sorted by
-  descending count, so slot s occupies lanes [0, c_ts): a pure prefix) and
-  accumulates in double-double;
+- ONE runtime `lax.sort` by those keys (or the statically planned router,
+  ops/permute.py) delivers every (tile, slot) group as a contiguous run of
+  the value stream, ordered by lane — run starts are ALIGNED to 128-lane
+  boundaries at plan time (interior pad measured +0.2% of stream length on
+  the power-law config), so the run already sits on the lane grid;
+- a Pallas kernel walks the runs: per slot it slices the run's G sublane
+  rows straight out of the window (rows within a tile are sorted by
+  descending count, so slot s occupies lanes [0, c_ts): a pure prefix —
+  the count mask alone separates it from the next run) and accumulates in
+  double-double; `sub` consecutive tiles of small-S buckets fold into one
+  grid step sharing a window DMA (the ~230 ns/grid-step overhead would
+  otherwise dominate buckets with hundreds of single-slot tiles);
 - rows longer than `cap` entries are split into sub-rows and the sub-sums
   feed a recursively built next level; the final level's output is put in
   natural row order by one more (n-sized) key sort.
@@ -56,11 +62,14 @@ def _pow2ceil(x: int) -> int:
 # Pallas kernel: one bucket (uniform slot count S) of tiles.
 # --------------------------------------------------------------------------
 
-def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2):
-    """Per tile: DMA the window of the sorted value stream covering the
-    tile's runs (double-buffered), then for each slot s place run
-    [o_ts, o_ts + c_ts) onto lanes [0, c_ts) of the (G, 128) accumulator
-    (unaligned start handled by two lane-gathers) and add."""
+def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2,
+                     sub: int = 1):
+    """Per grid step: DMA the window of the sorted value stream covering
+    `sub` consecutive tiles' runs (double-buffered), then for each
+    (subtile j, slot s) slice run [o, o + ceil(c/128)*128) — run starts
+    are 128-aligned by the plan, so the run's elements already sit on the
+    (G, 128) lane grid at window rows [o>>7, o>>7 + G) — mask by the run
+    count (lanes >= c belong to the next run / alignment pad) and add."""
 
     unroll = S <= 16
 
@@ -106,65 +115,68 @@ def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2):
             o = oc_ref[0, 0, s]
             c = oc_ref[0, 1, s]
             osub = jax.lax.shift_right_logical(o, jnp.int32(7))
-            r = jax.lax.bitwise_and(o, jnp.int32(127))
-            lane = jax.lax.bitwise_and(lane_i + r, jnp.int32(127))
-            from_a = lane_i < jnp.int32(128) - r
             mask = flat_i < c
 
             def take(w):
-                # element o + g*128 + l sits at window row osub + g
-                # (+1 when the lane wraps); K guarantees osub+1+G <= K+slack
-                a = w[pl.ds(sbase + osub, G)]
-                b = w[pl.ds(sbase + osub + jnp.int32(1), G)]
-                v = jnp.where(from_a, _lane_gather(a, lane),
-                              _lane_gather(b, lane))
-                return jnp.where(mask, v, jnp.float32(0))
+                # aligned run: element o + g*128 + l IS window row
+                # (o>>7) + g, lane l — a pure sublane slice, no gathers
+                return jnp.where(mask, w[pl.ds(sbase + osub, G)],
+                                 jnp.float32(0))
 
             if dd:
                 return _dd_add(acc, acc_l, take(win_h), take(win_l))
             return acc + take(win), acc_l
 
         zero = lambda: jnp.zeros((G, 128), jnp.float32)
-        if unroll:
-            na = max(1, min(nacc, S))
-            accs = [(zero(), zero() if dd else jnp.float32(0))
-                    for _ in range(na)]
-            for s in range(S):
-                accs[s % na] = slot_step(s, *accs[s % na])
-            acc, acc_l = accs[0]
-            for a2, a2l in accs[1:]:
-                if dd:
-                    acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
-                else:
-                    acc = acc + a2
-        else:
-            acc, acc_l = jax.lax.fori_loop(
-                0, S, lambda s, c_: slot_step(s, *c_),
-                (zero(), zero() if dd else jnp.float32(0)))
-        if dd:
-            yh_ref[0, :, :] = acc
-            yl_ref[0, :, :] = acc_l
-        else:
-            y_ref[0, :, :] = acc
+
+        def subtile(jS):
+            if unroll:
+                na = max(1, min(nacc, S))
+                accs = [(zero(), zero() if dd else jnp.float32(0))
+                        for _ in range(na)]
+                for s in range(S):
+                    accs[s % na] = slot_step(jS + s, *accs[s % na])
+                acc, acc_l = accs[0]
+                for a2, a2l in accs[1:]:
+                    if dd:
+                        acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                    else:
+                        acc = acc + a2
+            else:
+                acc, acc_l = jax.lax.fori_loop(
+                    jnp.int32(jS), jnp.int32(jS + S),
+                    lambda s, c_: slot_step(s, *c_),
+                    (zero(), zero() if dd else jnp.float32(0)))
+            return acc, acc_l
+
+        for j in range(sub):
+            acc, acc_l = subtile(j * S)
+            r = slice(j * G, (j + 1) * G)
+            if dd:
+                yh_ref[0, r, :] = acc
+                yl_ref[0, r, :] = acc_l
+            else:
+                y_ref[0, r, :] = acc
 
     return kernel
 
 
-def _sum_specs(S, n_stream, n_out):
+def _sum_specs(S, n_stream, n_out, sub=1):
     def im3(i, *_):
         return (i, _i0(), _i0())
 
-    in_specs = ([pl.BlockSpec((1, 2, S), im3, memory_space=pltpu.SMEM)]
+    in_specs = ([pl.BlockSpec((1, 2, sub * S), im3,
+                              memory_space=pltpu.SMEM)]
                 + [pl.BlockSpec(memory_space=pl.ANY)] * n_stream)
-    outs = [pl.BlockSpec((1, G, 128), im3, memory_space=pltpu.VMEM)
+    outs = [pl.BlockSpec((1, sub * G, 128), im3, memory_space=pltpu.VMEM)
             for _ in range(n_out)]
     return in_specs, (outs if n_out > 1 else outs[0])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "K", "T", "interpret"))
-def _runsum_dd(estart, oc, sh, sl, S, K, T, interpret=False):
-    in_specs, out_specs = _sum_specs(S, 2, 2)
+                   static_argnames=("S", "K", "T", "sub", "interpret"))
+def _runsum_dd(estart, oc, sh, sl, S, K, T, sub=1, interpret=False):
+    in_specs, out_specs = _sum_specs(S, 2, 2, sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -178,18 +190,18 @@ def _runsum_dd(estart, oc, sh, sl, S, K, T, interpret=False):
         ],
     )
     return pl.pallas_call(
-        _make_sum_kernel(S, K, T, dd=True),
+        _make_sum_kernel(S, K, T, dd=True, sub=sub),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((T, G, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32)],
         interpret=interpret,
     )(estart, oc, sh, sl)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("S", "K", "T", "interpret"))
-def _runsum_f32(estart, oc, sv, S, K, T, interpret=False):
-    in_specs, out_specs = _sum_specs(S, 1, 1)
+                   static_argnames=("S", "K", "T", "sub", "interpret"))
+def _runsum_f32(estart, oc, sv, S, K, T, sub=1, interpret=False):
+    in_specs, out_specs = _sum_specs(S, 1, 1, sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -201,9 +213,9 @@ def _runsum_f32(estart, oc, sv, S, K, T, interpret=False):
         ],
     )
     return pl.pallas_call(
-        _make_sum_kernel(S, K, T, dd=False),
+        _make_sum_kernel(S, K, T, dd=False, sub=sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, G, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, sub * G, 128), jnp.float32),
         interpret=interpret,
     )(estart, oc, sv)
 
@@ -215,11 +227,14 @@ def _runsum_f32(estart, oc, sv, S, K, T, interpret=False):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SumBucket:
-    estart: jax.Array | np.ndarray     # (T,) i32 window base row per tile
-    oc: jax.Array | np.ndarray         # (T, 2, S) i32 [run start; count]
+    estart: jax.Array | np.ndarray     # (T,) i32 window base row per step
+    oc: jax.Array | np.ndarray         # (T, 2, sub*S) i32 [run start; count]
     S: int = dataclasses.field(metadata=dict(static=True))
     K: int = dataclasses.field(metadata=dict(static=True))
     T: int = dataclasses.field(metadata=dict(static=True))
+    # tiles folded per grid step (_fold_buckets); oc row j*S+s = subtile
+    # j's slot s, outputs stacked (sub*G, 128) per step
+    sub: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -235,6 +250,10 @@ class SumLevel:
     # next level consumes exactly that slice (a free static slice — no
     # n-sized sort for rows already completed at this level)
     multi_len: int = dataclasses.field(metadata=dict(static=True))
+    # input stream length (entries; `keys` additionally carries the
+    # alignment-gap filler positions at [in_len:] for the sort path)
+    in_len: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
     # statically-planned routing replacing the runtime key sort
     # (ops/permute.py); None = sort by `keys` at runtime
     perm: object = None
@@ -253,14 +272,13 @@ class StreamSumPlan:
         return jax.tree_util.tree_map(jnp.asarray, self)
 
 
-def _rank_targets(keys: np.ndarray) -> np.ndarray:
-    """Output position of each stream element after a sort by `keys`
-    (sentinels -> -1): the static-permutation target map."""
+def _position_targets(keys: np.ndarray) -> np.ndarray:
+    """Static-permutation target map: keys ARE the aligned stream
+    positions (sentinels -> -1); gap positions simply receive no element
+    (the kernel's count mask never reads them)."""
     keys = np.asarray(keys)
-    srt = np.argsort(keys, kind="stable")
-    pos = np.empty(len(keys), np.int64)
-    pos[srt] = np.arange(len(keys))
-    return np.where(keys == _I32_SENTINEL, np.int64(-1), pos)
+    return np.where(keys == _I32_SENTINEL, np.int64(-1),
+                    keys.astype(np.int64))
 
 
 def _attach_perms(plan: "StreamSumPlan") -> None:
@@ -281,10 +299,16 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
         if len(np.asarray(lv.keys)) < min_len:
             continue
         try:
-            lv.perm = build_permute(_rank_targets(lv.keys),
-                                    n_out=lv.in_rows * 128)
+            lv.perm = build_permute(
+                _position_targets(np.asarray(lv.keys)[:lv.in_len]),
+                n_out=lv.in_rows * 128)
         except ValueError:
             pass
+        else:
+            # size the kernel's stream view to the router's padded output:
+            # the apply-side slice/pad around the Pallas call then
+            # disappears (it was a full extra HBM round trip of the stream)
+            lv.in_rows = max(lv.in_rows, lv.perm.n_out // 128)
     # final reorder: every row terminates exactly once, so the sorted
     # position of a terminal output IS its row id
     fk = np.asarray(plan.final_keys)
@@ -419,38 +443,65 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                   np.clip(counts_sig[real_sig], 0, capp + 1)), 1)
     suffix = H[:, ::-1].cumsum(axis=1)[:, ::-1]      # suffix[t,v] = #(>= v)
 
-    # run starts: exclusive cumsum in concat (group, bucket, tile, slot)
+    # ALIGNED run starts: exclusive cumsum of ceil(c/128)*128 in concat
+    # (group, bucket, tile, slot) order — every run begins at a 128-lane
+    # boundary so the kernel's realign is a pure sublane slice (no lane
+    # gathers). The interior pad is tiny: only the runs whose count is not
+    # a 128-multiple pay (+0.2% of stream length on the power-law config).
     buckets_np = []
-    run_base = 0
-    key_base_of_tile = np.zeros(T_all, np.int64)
-    vspace = 0
+    align_base = 0
+    n_real = 0
     per_bucket_runs = []
+    start_of = np.zeros((T_all, capp), np.int64)      # tile, slot -> start
     for S, tl, T_b in bucket_list:
-        key_base_of_tile[tl] = vspace + np.arange(len(tl)) * (S * R)
-        vspace += T_b * S * R
         c = np.zeros((T_b, S), np.int64)
         if len(tl):
             c[:len(tl)] = suffix[tl][:, 1:S + 1]     # (T_b, S): #(> s)
-        o = run_base + np.concatenate(
-            [[0], np.cumsum(c.ravel())[:-1]]).reshape(T_b, S)
-        run_base += int(c.sum())
-        per_bucket_runs.append((S, tl, T_b, o, c))
-    assert run_base == len(vpos)
+        ca = -(-c // 128) * 128                      # aligned run sizes
+        o = align_base + np.concatenate(
+            [[0], np.cumsum(ca.ravel())[:-1]]).reshape(T_b, S)
+        align_base += int(ca.sum())
+        n_real += int(c.sum())
+        if len(tl):
+            start_of[tl, :S] = o[:len(tl)]
+        per_bucket_runs.append((S, tl, T_b, o, c, ca))
+    assert n_real == len(vpos)
+    stream_top = align_base
 
-    if vspace + 1 >= np.iinfo(np.int32).max:
-        raise ValueError("stream-sum virtual key space exceeds int32")
+    if stream_top + 1 >= np.iinfo(np.int32).max:
+        raise ValueError("stream-sum aligned position space exceeds int32")
 
-    # entry sort keys
+    # entry sort keys ARE the aligned stream positions (rows within a tile
+    # are sigma-sorted descending, so run (t, s) holds exactly the lanes
+    # [0, c_ts) — an entry's rank within its run is its lane)
     keys = np.full(E, _I32_SENTINEL, np.int32)
     tg = sig_of[vrow] // R
     lane = sig_of[vrow] % R
-    keys[vpos] = (key_base_of_tile[tg] + vrank * R + lane).astype(np.int32)
+    keys[vpos] = (start_of[tg, vrank] + lane).astype(np.int32)
+
+    # gap filler positions (sort path only: lax.sort needs explicit
+    # entries at the alignment gaps so that rank == position; the static
+    # router simply never maps them and the kernel's count mask never
+    # reads them)
+    gap_parts = []
+    for S, tl, T_b, o, c, ca in per_bucket_runs:
+        cr, car, orr = c.ravel(), ca.ravel(), o.ravel()
+        part = car > cr
+        if part.any():
+            lens = (car - cr)[part]
+            starts_g = (orr + cr)[part]
+            idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            gap_parts.append((np.repeat(starts_g, lens) + idx))
+    gaps = (np.concatenate(gap_parts).astype(np.int32) if gap_parts
+            else np.zeros(0, np.int32))
+    keys = np.concatenate([keys, gaps])
 
     # per-bucket kernel metadata
-    in_rows_needed = _round_up(max(E, 1), 128) // 128
+    in_rows_needed = _round_up(max(len(keys), 1), 128) // 128
     shape_buckets, shape_K = [], {}
-    for S, tl, T_b, o, c in per_bucket_runs:
-        end = o[:, -1] + c[:, -1]                    # exclusive run end
+    for S, tl, T_b, o, c, ca in per_bucket_runs:
+        end = o[:, -1] + ca[:, -1]                   # aligned run end
         wrow = np.maximum((o[:, 0] >> 7) & ~7, 0)
         K = int(np.max(-(-(end - wrow * 128) // 128) + G + 2))
         K = _round_up(max(K, 8), 8)
@@ -467,7 +518,7 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     if forced is not None:
         assert in_rows_needed <= forced[2], "forced stream too short"
         in_rows_needed = forced[2]
-    shape = (shape_buckets, shape_K, in_rows_needed)
+    shape = (shape_buckets, shape_K, in_rows_needed, stream_top)
 
     out_len = T_concat * R
     multi_len = out_len if forward_all else T0 * R
@@ -486,12 +537,55 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                      _I32_SENTINEL).astype(np.int32)
     level = SumLevel(keys=keys, tkeys=tkeys, buckets=buckets_np,
                      in_rows=in_rows_needed, out_len=out_len,
-                     multi_len=multi_len)
+                     multi_len=multi_len, in_len=E)
     if multi_len == 0:
         return level, None, shape
     vr_multi = vr[:multi_len]
     out_dest = np.where(vr_multi >= 0, parent[np.maximum(vr_multi, 0)], -1)
     return level, out_dest, shape
+
+
+def _fold_buckets(level: SumLevel, max_k: int = 1024) -> None:
+    """Supertile small-S buckets: fold `sub` consecutive tiles into one
+    grid step (one shared window DMA, one step's bookkeeping). The
+    measured ~230 ns/grid-step overhead otherwise dominates buckets with
+    hundreds of single-slot tiles (891 S=1 tiles on the power-law
+    config). Tail tiles (T % sub) become a second sub=1 bucket; the
+    raveled output order is preserved, so out_len/tkeys are untouched."""
+    new = []
+    for b in level.buckets:
+        sub = next((cand for cand in (16, 8, 4, 2)
+                    if b.S * cand <= 32 and b.T >= 2 * cand), 1)
+        if sub == 1 or b.sub != 1:
+            new.append(b)
+            continue
+        T_s = b.T // sub
+        main_T = T_s * sub
+        es = np.asarray(b.estart, np.int64)
+        oc = np.asarray(b.oc, np.int64)
+        es_g = es[:main_T].reshape(T_s, sub)
+        base = es_g[:, 0]                    # run starts ascend in-bucket
+        K_s = _round_up(int(((es_g - base[:, None]).max(axis=1)
+                             + b.K).max()), 8)
+        if K_s > max_k:
+            new.append(b)
+            continue
+        # the shared window [base, base+K_s) may reach past the last
+        # subtile's own window; grow the stream view so the DMA can never
+        # run off the array (an out-of-bounds DMA faults the TPU worker)
+        level.in_rows = max(level.in_rows, int(base.max()) + K_s)
+        oc_g = oc[:main_T].reshape(T_s, sub, 2, b.S).copy()
+        oc_g[:, :, 0, :] += (es_g - base[:, None])[:, :, None] * 128
+        oc_s = np.ascontiguousarray(
+            oc_g.transpose(0, 2, 1, 3)).reshape(T_s, 2, sub * b.S)
+        new.append(SumBucket(estart=base.astype(np.int32),
+                             oc=oc_s.astype(np.int32),
+                             S=b.S, K=K_s, T=T_s, sub=sub))
+        if b.T > main_T:
+            new.append(SumBucket(estart=es[main_T:].astype(np.int32),
+                                 oc=oc[main_T:].astype(np.int32),
+                                 S=b.S, K=b.K, T=b.T - main_T))
+    level.buckets = new
 
 
 def build_stream_sum(dest: np.ndarray, n_rows: int,
@@ -504,6 +598,7 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
     while True:
         level, nxt, _ = _build_level(cur, n_rows, cap,
                                      include_empty_rows=first)
+        _fold_buckets(level)
         levels.append(level)
         first = False
         if nxt is None:
@@ -568,19 +663,22 @@ def build_stream_sum_uniform(dests, n_rows: int,
     forced_levels = []
     cur_len = in_len              # unified input length of each level
     for li in range(L):
-        t_of, k_of, rows_max = {}, {}, 0
+        t_of, k_of, rows_max, top_max = {}, {}, 0, 0
         for sh in all_shapes:
-            buckets, K_of, in_rows = sh[li]
+            buckets, K_of, in_rows, top = sh[li]
             for S, T_b in buckets:
                 t_of[S] = max(t_of.get(S, 0), T_b)
             for S, K in K_of.items():
                 k_of[S] = max(k_of.get(S, 0), K)
             rows_max = max(rows_max, in_rows)
+            top_max = max(top_max, top)
         fb = sorted(t_of.items())
-        # pad-tile windows can start anywhere in the stream; cover them
-        # (forced K may also exceed the pass-1 window a real tile used)
+        # pad-tile windows can start anywhere in the (aligned) stream,
+        # whose top may exceed the raw input length; cover both (forced K
+        # may also exceed the pass-1 window a real tile used)
         rows_max = max(rows_max,
-                       _round_up(cur_len, 128) // 128 + max(k_of.values()))
+                       _round_up(max(cur_len, top_max), 128) // 128
+                       + max(k_of.values()))
         forced_levels.append((fb, k_of, rows_max))
         cur_len = sum(T_b for _, T_b in fb) * R
 
@@ -590,6 +688,18 @@ def build_stream_sum_uniform(dests, n_rows: int,
         final = np.concatenate([lv.tkeys for lv in levels])
         plans.append(StreamSumPlan(levels=levels, final_keys=final,
                                    num_rows=n_rows))
+    # SPMD uniformity: the runtime key sorts must have identical shapes
+    # across devices — pad each level's gap-extended keys to the
+    # per-level max with sentinels (they sort to the tail, past every
+    # kernel window, and the padded values are zeros)
+    for li in range(L):
+        len_max = max(len(np.asarray(p.levels[li].keys)) for p in plans)
+        for p in plans:
+            k = np.asarray(p.levels[li].keys)
+            if len(k) < len_max:
+                p.levels[li].keys = np.concatenate(
+                    [k, np.full(len_max - len(k), _I32_SENTINEL,
+                                np.int32)])
     return plans
 
 
@@ -616,6 +726,13 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
                 vl = vl[:lv.in_rows * 128]
         else:
             keys = jnp.asarray(lv.keys)
+            # keys carry gap-filler positions at [in_len:] (aligned-run
+            # interior pad): zero-extend the values so rank == position
+            gap = keys.shape[0] - vh.shape[0]
+            if gap > 0:
+                vh = jnp.pad(vh, (0, gap))
+                if dd:
+                    vl = jnp.pad(vl, (0, gap))
             if dd:
                 _, vh, vl = jax.lax.sort((keys, vh, vl), num_keys=1,
                                          is_stable=False)
@@ -632,11 +749,11 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
             oc = jnp.asarray(b.oc)
             if dd:
                 oh, ol = _runsum_dd(es, oc, sh, sl, S=b.S, K=b.K, T=b.T,
-                                    interpret=interpret)
+                                    sub=b.sub, interpret=interpret)
                 outs_l.append(ol.reshape(-1))
             else:
                 oh = _runsum_f32(es, oc, sh, S=b.S, K=b.K, T=b.T,
-                                 interpret=interpret)
+                                 sub=b.sub, interpret=interpret)
             outs_h.append(oh.reshape(-1))
         oh = jnp.concatenate(outs_h)
         parts_h.append(oh[lv.multi_len:])

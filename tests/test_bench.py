@@ -258,8 +258,11 @@ def test_measure_peak_bandwidth_gate(monkeypatch):
     assert 0.05 * nominal <= bw <= 1.2 * nominal
 
 def test_actual_traffic_stream_and_sell(monkeypatch, rng):
-    """Traffic accounting covers the stream and SELL formats (approximate
-    but physical: plan leaves + stream round trips)."""
+    """Traffic accounting covers the stream and SELL formats. The stream
+    count is EXACT plan arithmetic (VERDICT r3 item 4): every router pass
+    and sum-window DMA enumerated from the plan shapes — and only exists
+    when every level is statically routed (sort traffic is data-dependent
+    and not modeled)."""
     monkeypatch.setenv("ELLSPMV_TPU_PALLAS_INTERPRET", "1")
     from ellspmv_tpu.bench.traffic import estimate_actual_bytes
     from ellspmv_tpu.formats.sell import sell_from_coo
@@ -269,7 +272,18 @@ def test_actual_traffic_stream_and_sell(monkeypatch, rng):
     coo = power_law(2000, 5, seed=4)
     strm = stream_from_coo(coo, value_dtype=np.float64)
     b = estimate_actual_bytes(strm)
-    assert b is not None and b > coo.num_nonzeros * 8
+    if all(lv.perm is not None for lv in strm.ddsum.levels) \
+            and strm.ddsum.final_perm is not None:
+        # fully routed: count present, and at least one full stream pass
+        assert b is not None and b > coo.num_nonzeros * 8
+    else:
+        assert b is None
+
+    # sort-path plans carry no physical column rather than an estimate
+    monkeypatch.setenv("ELLSPMV_TPU_NO_PERMUTE", "1")
+    strm2 = stream_from_coo(coo, value_dtype=np.float64)
+    assert estimate_actual_bytes(strm2) is None
+    monkeypatch.delenv("ELLSPMV_TPU_NO_PERMUTE")
 
     sell = sell_from_coo(coo, sort_rows=True, length_sort=True,
                          value_dtype=np.float64)
