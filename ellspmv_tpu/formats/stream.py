@@ -101,7 +101,8 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
     dd = val_dt == np.dtype(np.float64)
 
-    order = np.argsort(coo.colidx, kind="stable")
+    from ellspmv_tpu.io import native as _native
+    order = _native.argsort(coo.colidx)
     cols = coo.colidx[order].astype(np.int32)
     vals = coo.values[order].astype(val_dt)
     rows = coo.rowidx[order].astype(np.int64)
@@ -143,11 +144,12 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         n_groups = max(-(-nbo // blocks_per_group), 1)
         bpg = -(-nbo // n_groups)
         mega = (target[:nnz] // BLOCK) // bpg
-        # single radix pass on the combined key (columns < 2^31 always —
-        # stats use int32 column arithmetic); a 2-key lexsort costs two
-        # full argsort passes at nnz scale
-        pre = np.argsort(mega * (np.int64(1) << 31)
-                         + cols.astype(np.int64), kind="stable")
+        # single radix pass on the compact combined key (mega * m + col
+        # keeps the active bits low so the native byte-radix skips most
+        # passes); a 2-key lexsort costs two full argsort passes at nnz
+        # scale
+        pre = _native.argsort(mega.astype(np.uint64) * np.uint64(m)
+                              + cols.astype(np.uint64))
         mega_s = mega[pre]
         # pad every megablock group to a BLOCK multiple: product-plan
         # tiles then never straddle a group boundary (a straddling tile's
@@ -176,7 +178,8 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         target2 = np.full(prod_len2, -1, np.int64)
         target2[pos2] = target[:nnz][pre]
         try:
-            lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128)
+            lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128,
+                                      validate=False)
         except ValueError:
             pass     # router budget exceeded: keep the sort path
         else:

@@ -196,6 +196,43 @@ def edge_color(src, dst, max_colors: int = 128) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def argsort(keys) -> np.ndarray:
+    """Stable argsort of a non-negative integer key array via the native
+    LSD radix (native/sortperm.cc) — the plan-build hot path sorts
+    multi-million-entry keys several times per conversion and numpy's
+    introsort costs ~1 s per 7M-key pass on the single-core host. Falls
+    back to np.argsort when the library is unavailable."""
+    keys = np.asarray(keys)
+    n = len(keys)
+    lib = _load()
+    if lib is None or n < 100_000 or keys.dtype.kind not in "iu":
+        return np.argsort(keys, kind="stable")
+    if not getattr(lib, "_argsort_bound", False):
+        for name, kt in (("mtxio_argsort_u32", ctypes.c_uint32),
+                         ("mtxio_argsort_u64", ctypes.c_uint64)):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_int64, ctypes.POINTER(kt),
+                           ctypes.POINTER(ctypes.c_int32)]
+        lib._argsort_bound = True
+    if keys.dtype.kind == "i" and keys.size and int(keys.min()) < 0:
+        return np.argsort(keys, kind="stable")
+    out = np.empty(n, np.int32)
+    if keys.dtype.itemsize <= 4:
+        k32 = np.ascontiguousarray(keys, np.uint32)
+        rc = lib.mtxio_argsort_u32(
+            n, k32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    else:
+        k64 = np.ascontiguousarray(keys, np.uint64)
+        rc = lib.mtxio_argsort_u64(
+            n, k64.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return np.argsort(keys, kind="stable")
+    return out
+
+
 class _EllPackResult(ctypes.Structure):
     _fields_ = [
         ("colidx", ctypes.POINTER(ctypes.c_int32)),
