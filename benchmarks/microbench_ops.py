@@ -1,0 +1,143 @@
+"""VPU op-rate microbench: measured per-op costs for the kernel cycle
+ledger (VERDICT r3 item 2 — either close the ELL gather gap to >=80% of
+HBM or prove the ceiling with measured op rates).
+
+Each variant runs a Pallas kernel over a T-step grid; every step performs
+N unrolled repetitions of ONE op class on VMEM-resident (8, 128) f32
+operands and accumulates so nothing folds away. Two unroll depths per op
+give a two-point slope that cancels the grid-step overhead; dividing by
+the op count yields ns/op on the actual hardware.
+
+Op classes: dynamic lane gather (the ELL kernel's x fetch,
+ops/ell_pallas.py _lane_gather), static sublane slice+add (the aligned
+stream-sum realign), select (the scan's hit cascade), the serial dd FMA
+chain (_dd_fma with renorm), (128,128) transpose, and the same transpose
+through the MXU (dot with an identity) — the router's W2 alternative.
+
+Usage: python benchmarks/microbench_ops.py [--t 512]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ellspmv_tpu.ops.ell_pallas import _dd_fma, _i0, _lane_gather
+
+
+def _sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def _make(op_name: str, N: int, T: int):
+    """Kernel: per grid step, N repetitions of the op, accumulated."""
+
+    def kernel(x_ref, l_ref, o_ref):
+        i = pl.program_id(0)
+        acc = x_ref[0:8] * jnp.float32(1e-9) + i.astype(jnp.float32) * 0
+        lane0 = l_ref[0:8]
+        if op_name == "gather":
+            for k in range(N):
+                lane = jax.lax.bitwise_and(lane0 + jnp.int32(k),
+                                           jnp.int32(127))
+                acc = acc + _lane_gather(x_ref[8 * (k % 8):8 * (k % 8) + 8],
+                                         lane)
+        elif op_name == "slice_add":
+            for k in range(N):
+                acc = acc + x_ref[8 * (k % 8):8 * (k % 8) + 8]
+        elif op_name == "select":
+            m0 = lane0 < jnp.int32(64)
+            for k in range(N):
+                acc = jnp.where(m0, x_ref[8 * (k % 8):8 * (k % 8) + 8], acc)
+        elif op_name == "dd_fma":
+            # SERIAL chain — the per-slot dependency the ELL kernel pays
+            lo = acc * jnp.float32(0)
+            a = x_ref[0:8]
+            b = x_ref[8:16]
+            for k in range(N):
+                acc, lo = _dd_fma(acc, lo, a, b, b, a)
+            acc = acc + lo
+        elif op_name == "transpose":
+            z = x_ref[0:128]
+            for k in range(N):
+                z = z.T
+                acc = acc + z[0:8] * jnp.float32(1e-9)
+        elif op_name == "mxu_transpose":
+            z = x_ref[0:128]
+            ident = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1),
+                jnp.float32(1), jnp.float32(0))
+            for k in range(N):
+                z = jax.lax.dot_general(
+                    ident, z, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + z[0:8] * jnp.float32(1e-9)
+        else:
+            raise ValueError(op_name)
+        o_ref[0:8] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("op_name", "N", "T"))
+def run(x, lanes, op_name, N, T):
+    return pl.pallas_call(
+        _make(op_name, N, T),
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(x, lanes)
+
+
+def measure(op_name: str, T: int, n_lo: int = 16, n_hi: int = 80):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(128, 128).astype(np.float32))
+    lanes = jnp.asarray(rng.randint(0, 128, (8, 128)).astype(np.int32))
+    _sync(run(x, lanes, op_name, n_lo, T))
+    _sync(run(x, lanes, op_name, n_hi, T))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(run(x, lanes, op_name, n_lo, T))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(run(x, lanes, op_name, n_hi, T))
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (T * (n_hi - n_lo)))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=2048)
+    ap.add_argument("--ops", default="gather,slice_add,select,dd_fma,"
+                                     "transpose,mxu_transpose")
+    args = ap.parse_args()
+    print(f"platform: {jax.devices()[0].platform} "
+          f"({jax.devices()[0].device_kind}), T={args.t}", flush=True)
+    for op in args.ops.split(","):
+        ns = measure(op, args.t) * 1e9
+        shape = "(128,128)" if "transpose" in op else "(8,128)"
+        print(f"{op:14s} {ns:8.2f} ns/op on {shape} "
+              f"({ns / (1024 if 'transpose' not in op else 16384) * 1000:7.3f} ps/elem)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,9 +103,9 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
 
     from ellspmv_tpu.io import native as _native
     order = _native.argsort(coo.colidx)
-    cols = coo.colidx[order].astype(np.int32)
-    vals = coo.values[order].astype(val_dt)
-    rows = coo.rowidx[order].astype(np.int64)
+    cols = coo.colidx[order].astype(np.int32, copy=False)
+    vals = coo.values[order].astype(val_dt, copy=False)
+    rows = coo.rowidx[order]          # int widening happens on assignment
 
     # unified padded product length — a multiple of the permute BLOCK so
     # the product plan, the static router and the sum level agree
@@ -187,9 +187,9 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             prod_len = prod_len2
             keys2 = np.full(prod_len2, _I32_SENTINEL, np.int32)
             keys2[pos2] = keys[:nnz][pre]
-            # keep the gap-filler positions (input order is irrelevant to
-            # them) so a later sort-path consumer stays correct
-            lvl1.keys = np.concatenate([keys2, keys_full[len(keys):]])
+            # the router owns the reorder; the sort keys are dead weight
+            # (28 MB of device transfer at config3 scale)
+            lvl1.keys = np.zeros(0, np.int32)
             lvl1.in_len = prod_len2
             # size the kernel's stream view to the router's padded output
             # so the apply-side slice/pad copies disappear

@@ -193,7 +193,41 @@ def edge_color(src, dst, max_colors: int = 128) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise NativeUnsupported(f"edge_color failed ({rc})")
-    return out.astype(np.int64)
+    return out.astype(np.int32)
+
+
+def edge_color_grouped(src, dst, starts, max_colors: int = 128
+                       ) -> np.ndarray:
+    """Color `len(starts)-1` independent consecutive edge groups
+    (native/color.cc grouped entry): the routing planner's colorings
+    decompose per 128x128 stream block, and the per-block subgraphs are
+    cache-resident where one global walk thrashes DRAM."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native library not built")
+    if not getattr(lib, "_edge_color_grouped_bound", False):
+        lib.mtxio_edge_color_grouped.restype = ctypes.c_int32
+        lib.mtxio_edge_color_grouped.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib._edge_color_grouped_bound = True
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty(len(src), np.uint8)
+    rc = lib.mtxio_edge_color_grouped(
+        len(src),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(starts) - 1,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(max_colors),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise NativeUnsupported(f"edge_color_grouped failed ({rc})")
+    return out.astype(np.int32)
 
 
 def argsort(keys) -> np.ndarray:

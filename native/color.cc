@@ -8,25 +8,25 @@
 // no analogue (its CPU kernels tolerate random access, csrspmv.c:1590);
 // this is plan-time work that buys sort-free routing on the TPU.
 //
-// Sequential Euler-split walker: at each level, pair up the incident edges
-// of every node on both sides; the pairing links form paths and even
-// cycles over edges; 2-coloring them alternately splits every node degree
-// in half. ceil(log2(max_colors)) levels leave each class a matching.
-// O(E log maxdeg) time, trivially exact.
+// Euler-split scheme: at each level, pair up the incident edges of every
+// node on both sides; the pairing links form paths and even cycles over
+// edges; 2-coloring them alternately splits every node degree in half.
+// ceil(log2(max_colors)) levels leave each class a matching. The class of
+// an edge after k levels is its leaf index in the split tree = its color.
 //
-// Tuned for single-core plan-build cost (VERDICT r2 item 4: stream plan
-// build was edge-coloring-bound):
-// - every recursion subset carries COMPACTED local edge arrays, so the
-//   partner chase and pairing work in a dense [0, m) index space — from
-//   the second level down the working set halves each level and quickly
-//   becomes cache-resident (the old global-id version chased pointers
-//   across the full-E arrays at every depth);
-// - int32 ids and int32 node values halve the traffic;
-// - endpoint-first walks plus a cycle sweep (the old rewind pass visited
-//   every path twice);
+// Tuned for single-core plan-build cost (VERDICT r2 item 4 / r3 item 5):
+// - ITERATIVE level sweep over double buffers instead of recursion: each
+//   level stable-partitions every subset in place into consecutive
+//   (h0 | h1) ranges of one shared buffer — zero per-subset allocations
+//   (the recursive version allocated ~6 vectors per subset: ~650K allocs
+//   across a grouped 6.5M-edge call);
+// - the planner's colorings decompose per 128x128 stream block; the
+//   grouped entry runs each <=16K-edge block cache-resident with ALL
+//   scratch reused across blocks;
+// - int32 ids and node values; the last level writes colors straight from
+//   the walk parity;
 // - per-node counting sort switches to comparison sort when the subset is
-//   much smaller than the node space (the counting-sort head clear was
-//   O(n_nodes) per subset, dominating deep levels).
+//   much smaller than the node space.
 
 #include <algorithm>
 #include <cstdint>
@@ -36,125 +36,158 @@
 namespace {
 
 struct Ctx {
-  std::vector<int32_t> head;      // scratch: per-node bucket start
-  std::vector<uint8_t> colors;
-  int64_t n_src, n_dst;
+  // double buffers for (edge id, src, dst), partitioned level by level
+  std::vector<int32_t> ids[2], src[2], dst[2];
+  std::vector<int32_t> bounds[2];   // subset starts (+ total at the end)
+  std::vector<int32_t> pa, pb;      // pairing partners (subset-local)
+  std::vector<uint8_t> seen;
+  std::vector<int32_t> h1tmp;       // second-half staging per subset
+  std::vector<int32_t> head;        // counting-sort heads (node space)
+  std::vector<int32_t> order;       // per-subset incidence order
+  std::vector<std::pair<int32_t, int32_t>> kv;
+  int64_t n_src = 0, n_dst = 0;
 };
 
-// pair consecutive incident edges of each node; edges are the LOCAL ids
-// 0..m-1 and `node[i]` their node on this side. partner[i] = -1 or local.
-static void pair_side(Ctx &c, const std::vector<int32_t> &node,
+// pair consecutive incident edges of each node within the slice
+// [0, sm) of `node` (subset-local ids); partner[i] = -1 or local id.
+static void pair_side(Ctx &c, const int32_t *node, int64_t sm,
                       int64_t n_nodes, std::vector<int32_t> &partner) {
-  const size_t m = node.size();
-  partner.assign(m, -1);
-  if (m * 8 >= (size_t)n_nodes) {
-    std::vector<int32_t> &head = c.head;
-    head.assign(n_nodes + 1, 0);
-    for (size_t i = 0; i < m; i++) head[node[i] + 1]++;
+  for (int64_t i = 0; i < sm; i++) partner[i] = -1;
+  if (sm * 8 >= n_nodes) {
+    c.head.assign(n_nodes + 1, 0);
+    int32_t *head = c.head.data();
+    for (int64_t i = 0; i < sm; i++) head[node[i] + 1]++;
     for (int64_t i = 0; i < n_nodes; i++) head[i + 1] += head[i];
-    std::vector<int32_t> order(m);
-    {
-      std::vector<int32_t> pos(head.begin(), head.end() - 1);
-      for (size_t i = 0; i < m; i++) order[pos[node[i]]++] = (int32_t)i;
-    }
-    size_t i = 0;
-    while (i < m) {
-      size_t j = i;
+    c.order.resize(sm);
+    int32_t *order = c.order.data();
+    for (int64_t i = 0; i < sm; i++) order[head[node[i]]++] = (int32_t)i;
+    // head[v] is now the EXCLUSIVE end of bucket v; walk buckets
+    int64_t i = 0;
+    while (i < sm) {
+      int64_t j = i;
       const int32_t nd = node[order[i]];
-      while (j < m && node[order[j]] == nd) j++;
-      for (size_t t = i; t + 1 < j; t += 2) {
+      while (j < sm && node[order[j]] == nd) j++;
+      for (int64_t t = i; t + 1 < j; t += 2) {
         partner[order[t]] = order[t + 1];
         partner[order[t + 1]] = order[t];
       }
       i = j;
     }
   } else {
-    // comparison sort on (node, local id) — node-space free
-    std::vector<std::pair<int32_t, int32_t>> kv(m);
-    for (size_t i = 0; i < m; i++) kv[i] = {node[i], (int32_t)i};
-    std::sort(kv.begin(), kv.end());
-    size_t i = 0;
-    while (i < m) {
-      size_t j = i;
-      while (j < m && kv[j].first == kv[i].first) j++;
-      for (size_t t = i; t + 1 < j; t += 2) {
-        partner[kv[t].second] = kv[t + 1].second;
-        partner[kv[t + 1].second] = kv[t].second;
+    c.kv.resize(sm);
+    for (int64_t i = 0; i < sm; i++) c.kv[i] = {node[i], (int32_t)i};
+    std::sort(c.kv.begin(), c.kv.begin() + sm);
+    int64_t i = 0;
+    while (i < sm) {
+      int64_t j = i;
+      while (j < sm && c.kv[j].first == c.kv[i].first) j++;
+      for (int64_t t = i; t + 1 < j; t += 2) {
+        partner[c.kv[t].second] = c.kv[t + 1].second;
+        partner[c.kv[t + 1].second] = c.kv[t].second;
       }
       i = j;
     }
   }
 }
 
-static void split(Ctx &c, std::vector<int32_t> ids,
-                  std::vector<int32_t> lsrc, std::vector<int32_t> ldst,
-                  int levels, int base) {
-  const size_t m = ids.size();
-  if (levels == 0 || m <= 1) {
-    for (int32_t e : ids) c.colors[e] = (uint8_t)base;
+// Color `m` edges with local node ids (src < n_src, dst < n_dst) into
+// colors_out (values < 2^levels). All scratch comes from (and stays in)
+// the Ctx, so repeated calls reuse every buffer.
+static void color_flat(Ctx &c, int64_t m, const int32_t *src0,
+                       const int32_t *dst0, int levels,
+                       uint8_t *colors_out) {
+  if (m <= 0) return;
+  if (levels == 0) {
+    for (int64_t i = 0; i < m; i++) colors_out[i] = 0;
     return;
   }
-  std::vector<int32_t> pa, pb;
-  pair_side(c, lsrc, c.n_src, pa);
-  pair_side(c, ldst, c.n_dst, pb);
-
-  std::vector<int32_t> h0, h1;      // LOCAL ids of the two halves
-  h0.reserve(m / 2 + 1);
-  h1.reserve(m / 2 + 1);
-  std::vector<uint8_t> seen(m, 0);
-
-  // pass 1: walk paths from their endpoints (an endpoint edge misses a
-  // partner on one side)
-  for (size_t s = 0; s < m; s++) {
-    if (seen[s]) continue;
-    const bool no_a = pa[s] < 0, no_b = pb[s] < 0;
-    if (!no_a && !no_b) continue;           // interior edge or cycle
-    bool fwd_a = no_a ? false : true;       // follow the side that exists
-    int32_t cur = (int32_t)s;
-    int parity = 0;
-    while (true) {
-      seen[cur] = 1;
-      (parity ? h1 : h0).push_back(cur);
-      parity ^= 1;
-      const int32_t nxt = fwd_a ? pa[cur] : pb[cur];
-      fwd_a = !fwd_a;
-      if (nxt < 0 || seen[nxt]) break;
-      cur = nxt;
-    }
+  for (int b = 0; b < 2; b++) {
+    c.ids[b].resize(m);
+    c.src[b].resize(m);
+    c.dst[b].resize(m);
   }
-  // pass 2: the rest are even cycles — start anywhere, direction is free
-  for (size_t s = 0; s < m; s++) {
-    if (seen[s]) continue;
-    bool fwd_a = true;
-    int32_t cur = (int32_t)s;
-    int parity = 0;
-    while (true) {
-      seen[cur] = 1;
-      (parity ? h1 : h0).push_back(cur);
-      parity ^= 1;
-      const int32_t nxt = fwd_a ? pa[cur] : pb[cur];
-      fwd_a = !fwd_a;
-      if (nxt < 0 || seen[nxt]) break;
-      cur = nxt;
-    }
-  }
-  pa.clear(); pa.shrink_to_fit();
-  pb.clear(); pb.shrink_to_fit();
-  seen.clear(); seen.shrink_to_fit();
+  c.pa.resize(m);
+  c.pb.resize(m);
+  c.seen.resize(m);
+  c.h1tmp.resize(m);
+  for (int64_t i = 0; i < m; i++) c.ids[0][i] = (int32_t)i;
+  std::memcpy(c.src[0].data(), src0, m * sizeof(int32_t));
+  std::memcpy(c.dst[0].data(), dst0, m * sizeof(int32_t));
+  c.bounds[0].assign(2, 0);
+  c.bounds[0][1] = (int32_t)m;
 
-  // compact each half's edge arrays so the next level works densely
-  auto compact = [&](const std::vector<int32_t> &h, int lv, int b) {
-    std::vector<int32_t> cids(h.size()), cs(h.size()), cd(h.size());
-    for (size_t i = 0; i < h.size(); i++) {
-      cids[i] = ids[h[i]];
-      cs[i] = lsrc[h[i]];
-      cd[i] = ldst[h[i]];
+  int cur = 0;
+  for (int lev = 0; lev < levels; lev++) {
+    const bool last = (lev == levels - 1);
+    const std::vector<int32_t> &bd = c.bounds[cur];
+    std::vector<int32_t> &bn = c.bounds[cur ^ 1];
+    if (!last) {
+      bn.clear();
+      bn.push_back(0);
     }
-    split(c, std::move(cids), std::move(cs), std::move(cd), lv, b);
-  };
-  compact(h0, levels - 1, base * 2);
-  h0.clear(); h0.shrink_to_fit();
-  compact(h1, levels - 1, base * 2 + 1);
+    int32_t cursor = 0;
+    const int32_t n_sub = (int32_t)bd.size() - 1;
+    for (int32_t j = 0; j < n_sub; j++) {
+      const int32_t lo = bd[j], hi = bd[j + 1];
+      const int64_t sm = hi - lo;
+      const int32_t *ids = c.ids[cur].data() + lo;
+      const int32_t *ls = c.src[cur].data() + lo;
+      const int32_t *ld = c.dst[cur].data() + lo;
+      if (sm > 0) {
+        pair_side(c, ls, sm, c.n_src, c.pa);
+        pair_side(c, ld, sm, c.n_dst, c.pb);
+        std::memset(c.seen.data(), 0, sm);
+        int32_t n1 = 0;
+        auto emit = [&](int32_t local, int parity) {
+          if (last) {
+            colors_out[ids[local]] = (uint8_t)(j * 2 + parity);
+          } else if (parity == 0) {
+            const int32_t w = cursor++;
+            c.ids[cur ^ 1][w] = ids[local];
+            c.src[cur ^ 1][w] = ls[local];
+            c.dst[cur ^ 1][w] = ld[local];
+          } else {
+            c.h1tmp[n1++] = local;
+          }
+        };
+        // pass 1: paths from endpoints; pass 2: even cycles
+        for (int pass = 0; pass < 2; pass++) {
+          for (int64_t s = 0; s < sm; s++) {
+            if (c.seen[s]) continue;
+            const bool no_a = c.pa[s] < 0, no_b = c.pb[s] < 0;
+            if (pass == 0 && !no_a && !no_b) continue;
+            bool fwd_a = (pass == 0) ? (no_a ? false : true) : true;
+            int32_t curme = (int32_t)s;
+            int parity = 0;
+            while (true) {
+              c.seen[curme] = 1;
+              emit(curme, parity);
+              parity ^= 1;
+              const int32_t nxt = fwd_a ? c.pa[curme] : c.pb[curme];
+              fwd_a = !fwd_a;
+              if (nxt < 0 || c.seen[nxt]) break;
+              curme = nxt;
+            }
+          }
+        }
+        if (!last) {
+          bn.push_back(cursor);     // end of this subset's h0
+          for (int32_t t = 0; t < n1; t++) {
+            const int32_t local = c.h1tmp[t];
+            const int32_t w = cursor++;
+            c.ids[cur ^ 1][w] = ids[local];
+            c.src[cur ^ 1][w] = ls[local];
+            c.dst[cur ^ 1][w] = ld[local];
+          }
+          bn.push_back(cursor);     // end of h1
+        }
+      } else if (!last) {
+        bn.push_back(cursor);
+        bn.push_back(cursor);
+      }
+    }
+    if (!last) cur ^= 1;
+  }
 }
 
 }  // namespace
@@ -173,12 +206,46 @@ int mtxio_edge_color(int64_t n_edges, const int32_t *src, const int32_t *dst,
   Ctx c;
   c.n_src = n_src;
   c.n_dst = n_dst;
-  c.colors.assign(n_edges, 0);
-  std::vector<int32_t> ids(n_edges);
-  std::vector<int32_t> ls(src, src + n_edges), ld(dst, dst + n_edges);
-  for (int64_t i = 0; i < n_edges; i++) ids[i] = (int32_t)i;
-  split(c, std::move(ids), std::move(ls), std::move(ld), levels, 0);
-  std::memcpy(colors_out, c.colors.data(), n_edges);
+  color_flat(c, n_edges, src, dst, levels, colors_out);
+  return 0;
+}
+
+// Colors `n_groups` INDEPENDENT bipartite multigraphs laid out
+// consecutively (group g = edges [starts[g], starts[g+1])). The routing
+// planner's two colorings decompose per 128x128 stream block — the
+// per-block subgraphs (<=16K edges) are cache-resident where the single
+// global walk thrashes DRAM. Node ids are localized per group by their
+// min, so callers pass the global ids unchanged.
+int mtxio_edge_color_grouped(int64_t n_edges, const int32_t *src,
+                             const int32_t *dst, int64_t n_groups,
+                             const int64_t *starts, int32_t max_colors,
+                             uint8_t *colors_out) {
+  if (n_edges == 0) return 0;
+  if (n_edges > INT32_MAX) return 1;
+  int levels = 0;
+  while ((1 << levels) < max_colors) levels++;
+  Ctx c;
+  std::vector<int32_t> ls, ld;
+  for (int64_t g = 0; g < n_groups; g++) {
+    const int64_t lo = starts[g], hi = starts[g + 1];
+    const int64_t m = hi - lo;
+    if (m <= 0) continue;
+    int32_t smin = src[lo], dmin = dst[lo];
+    int32_t smax = smin, dmax = dmin;
+    for (int64_t i = lo + 1; i < hi; i++) {
+      smin = std::min(smin, src[i]); smax = std::max(smax, src[i]);
+      dmin = std::min(dmin, dst[i]); dmax = std::max(dmax, dst[i]);
+    }
+    c.n_src = (int64_t)smax - smin + 1;
+    c.n_dst = (int64_t)dmax - dmin + 1;
+    ls.resize(m);
+    ld.resize(m);
+    for (int64_t i = 0; i < m; i++) {
+      ls[i] = src[lo + i] - smin;
+      ld[i] = dst[lo + i] - dmin;
+    }
+    color_flat(c, m, ls.data(), ld.data(), levels, colors_out + lo);
+  }
   return 0;
 }
 
