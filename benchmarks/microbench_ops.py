@@ -47,34 +47,45 @@ def _make(op_name: str, N: int, T: int):
 
     def kernel(x_ref, l_ref, o_ref):
         i = pl.program_id(0)
-        acc = x_ref[0:8] * jnp.float32(1e-9) + i.astype(jnp.float32) * 0
         lane0 = l_ref[0:8]
+        # 4 independent serial chains: approximates the issue rate with
+        # realistic ILP while preventing the compiler from collapsing or
+        # reassociating the op sequence
+        accs = [x_ref[8 * j:8 * j + 8] * jnp.float32(1e-9)
+                + i.astype(jnp.float32) * 0 for j in range(4)]
         if op_name == "gather":
             for k in range(N):
                 lane = jax.lax.bitwise_and(lane0 + jnp.int32(k),
                                            jnp.int32(127))
-                acc = acc + _lane_gather(x_ref[8 * (k % 8):8 * (k % 8) + 8],
-                                         lane)
+                j = k % 4
+                accs[j] = accs[j] + _lane_gather(
+                    x_ref[8 * (k % 8):8 * (k % 8) + 8], lane)
         elif op_name == "slice_add":
             for k in range(N):
-                acc = acc + x_ref[8 * (k % 8):8 * (k % 8) + 8]
+                j = k % 4
+                accs[j] = accs[j] + x_ref[8 * (k % 8):8 * (k % 8) + 8]
         elif op_name == "select":
             m0 = lane0 < jnp.int32(64)
+            m1 = lane0 >= jnp.int32(32)
             for k in range(N):
-                acc = jnp.where(m0, x_ref[8 * (k % 8):8 * (k % 8) + 8], acc)
+                j = k % 4
+                accs[j] = jnp.where(m0 if k % 2 else m1,
+                                    x_ref[8 * (k % 8):8 * (k % 8) + 8],
+                                    accs[j])
         elif op_name == "dd_fma":
-            # SERIAL chain — the per-slot dependency the ELL kernel pays
-            lo = acc * jnp.float32(0)
+            # 2 serial chains — close to the kernel's nacc=2 dependency
+            los = [a * jnp.float32(0) for a in accs[:2]]
             a = x_ref[0:8]
             b = x_ref[8:16]
             for k in range(N):
-                acc, lo = _dd_fma(acc, lo, a, b, b, a)
-            acc = acc + lo
+                j = k % 2
+                accs[j], los[j] = _dd_fma(accs[j], los[j], a, b, b, a)
+            accs[0] = accs[0] + los[0] + los[1]
         elif op_name == "transpose":
             z = x_ref[0:128]
             for k in range(N):
                 z = z.T
-                acc = acc + z[0:8] * jnp.float32(1e-9)
+                accs[k % 4] = accs[k % 4] + z[0:8] * jnp.float32(1e-9)
         elif op_name == "mxu_transpose":
             z = x_ref[0:128]
             ident = jnp.where(
@@ -85,10 +96,10 @@ def _make(op_name: str, N: int, T: int):
                 z = jax.lax.dot_general(
                     ident, z, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = acc + z[0:8] * jnp.float32(1e-9)
+                accs[k % 4] = accs[k % 4] + z[0:8] * jnp.float32(1e-9)
         else:
             raise ValueError(op_name)
-        o_ref[0:8] = acc
+        o_ref[0:8] = accs[0] + accs[1] + accs[2] + accs[3]
 
     return kernel
 
@@ -106,12 +117,16 @@ def run(x, lanes, op_name, N, T):
 
 
 def measure(op_name: str, T: int, n_lo: int = 16, n_hi: int = 80):
+    """Two-point unroll-depth slope at a grid size large enough that the
+    op-count delta dwarfs the ~30 ms tunnel dispatch jitter (a T=2048
+    first cut measured NEGATIVE slopes — the whole kernel ran inside the
+    dispatch noise)."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(128, 128).astype(np.float32))
     lanes = jnp.asarray(rng.randint(0, 128, (8, 128)).astype(np.int32))
     _sync(run(x, lanes, op_name, n_lo, T))
     _sync(run(x, lanes, op_name, n_hi, T))
-    best = float("inf")
+    slopes = []
     for _ in range(5):
         t0 = time.perf_counter()
         _sync(run(x, lanes, op_name, n_lo, T))
@@ -119,13 +134,14 @@ def measure(op_name: str, T: int, n_lo: int = 16, n_hi: int = 80):
         t0 = time.perf_counter()
         _sync(run(x, lanes, op_name, n_hi, T))
         t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (T * (n_hi - n_lo)))
-    return best
+        slopes.append((t_hi - t_lo) / (T * (n_hi - n_lo)))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--t", type=int, default=2048)
+    ap.add_argument("--t", type=int, default=65536)
     ap.add_argument("--ops", default="gather,slice_add,select,dd_fma,"
                                      "transpose,mxu_transpose")
     args = ap.parse_args()

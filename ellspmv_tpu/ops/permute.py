@@ -508,6 +508,12 @@ def apply_permute(plan: PermutePlan, *payloads, interpret: bool = False):
     taken = [jnp.take(m.reshape(plan.NBi * plan.HA * 128, 128), gsrc,
                       axis=0).reshape(plan.NBo, plan.HB, 128, 128)
              for m in mids]
+    if __import__("os").environ.get("ELLSPMV_TPU_SKIP_W2"):
+        # measurement ablation (WRONG results): drop the W2 pass but keep
+        # a same-shape copy, so the pipeline time delta vs the full run
+        # bounds W2's traffic+compute for the exact-accounting validation
+        # (bench/traffic.py, VERDICT r3 item 4)
+        return [t[:, 0].reshape(-1) for t in taken]
     outs = _w2(jnp.asarray(plan.l1b), jnp.asarray(plan.q2),
                jnp.asarray(plan.l3), *taken,
                HB=plan.HB, NBo=plan.NBo, n=len(taken),
