@@ -47,12 +47,13 @@ DEFAULTS = {
     # (ELLSPMV_TPU_NO_PERMUTE) and sort-based primitives generally
     "stream_ns_per_nnz": 3.0,
     # end-to-end rate of the ROUTED stream pipeline (static router +
-    # supertiled product + run-realign sums): measured v5e round 3 —
-    # config3 4.106 ms / 7.05M = 0.58, dense-rows 6.80 ms / 9.82M = 0.69,
-    # 125k power-law 0.402 ms / 0.741M = 0.54 ns/nnz. The round-2 chooser
-    # priced streams at the sort rate and mis-picked SELL on dense-rows
-    # (priced 27 ms = measured 30.6 ms, but stream measured 6.8 ms).
-    "stream_routed_ns_per_nnz": 0.7,
+    # supertiled product + ALIGNED-RUN sums): measured v5e round 4 —
+    # config3 3.45 ms / 7.05M = 0.49 ns/nnz (round 3 was 0.54-0.69 with
+    # the gathered realign). The round-2 chooser priced streams at the
+    # sort rate and mis-picked SELL on dense-rows (priced 27 ms =
+    # measured 30.6 ms, but stream measured 6.8 ms). Slightly above the
+    # best point so borderline picks stay conservative.
+    "stream_routed_ns_per_nnz": 0.55,
     "cycles_per_s": 940e6,
 }
 
