@@ -230,6 +230,67 @@ def edge_color_grouped(src, dst, starts, max_colors: int = 128
     return out.astype(np.int32)
 
 
+def build_permute_maps(k32, tr32, NBi: int, NBo: int,
+                       max_halves: int = 4):
+    """Full router-map assembly (native/color.cc mtxio_build_permute):
+    radix order, (b, d) grouping, both per-block colorings and all six
+    map scatters fused in C++ — the ~4.5 s numpy assembly at 7M elements
+    runs in ~1 s. Returns (l1, q1, gsrc, l1b, q2, l3, HA, HB); raises
+    ValueError when the half-block budget is exceeded (same contract as
+    the numpy builder)."""
+    lib = _load()
+    if lib is None:
+        raise NativeUnsupported("native library not built")
+    if not getattr(lib, "_build_permute_bound", False):
+        lib.mtxio_build_permute.restype = ctypes.c_int32
+        lib.mtxio_build_permute.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+        lib._build_permute_bound = True
+    k32 = np.ascontiguousarray(k32, np.int32)
+    tr32 = np.ascontiguousarray(tr32, np.int32)
+    BLK = 128 * 128
+    l1 = np.empty(NBi * BLK, np.int8)
+    q1 = np.empty(NBi * max_halves * BLK, np.int8)
+    gsrc = np.empty(NBo * max_halves * 128, np.int32)
+    l1b = np.empty(NBo * max_halves * BLK, np.int8)
+    q2 = np.empty(NBo * BLK, np.int16)
+    l3 = np.empty(NBo * BLK, np.int8)
+    ha_hb = np.zeros(2, np.int32)
+    P = ctypes.POINTER
+    rc = lib.mtxio_build_permute(
+        len(k32),
+        k32.ctypes.data_as(P(ctypes.c_int32)),
+        tr32.ctypes.data_as(P(ctypes.c_int32)),
+        int(NBi), int(NBo), int(max_halves),
+        l1.ctypes.data_as(P(ctypes.c_uint8)),
+        q1.ctypes.data_as(P(ctypes.c_int8)),
+        gsrc.ctypes.data_as(P(ctypes.c_int32)),
+        l1b.ctypes.data_as(P(ctypes.c_int8)),
+        q2.ctypes.data_as(P(ctypes.c_int16)),
+        l3.ctypes.data_as(P(ctypes.c_uint8)),
+        ha_hb.ctypes.data_as(P(ctypes.c_int32)))
+    if rc == 2:
+        raise ValueError(
+            "input blocks touch too many destination blocks (need more "
+            "half-blocks; pre-order the input by destination megablock)")
+    if rc == 3:
+        raise ValueError(
+            "destination blocks receive from too many input blocks")
+    if rc != 0:
+        raise NativeUnsupported(f"build_permute_maps failed ({rc})")
+    HA, HB = int(ha_hb[0]), int(ha_hb[1])
+    return (l1.reshape(NBi, 128, 128),
+            q1[:NBi * HA * BLK].reshape(NBi, HA, 128, 128),
+            gsrc[:NBo * HB * 128],
+            l1b[:NBo * HB * BLK].reshape(NBo, HB, 128, 128),
+            q2.reshape(NBo, 128, 128), l3.reshape(NBo, 128, 128), HA, HB)
+
+
 def argsort(keys) -> np.ndarray:
     """Stable argsort of a non-negative integer key array via the native
     LSD radix (native/sortperm.cc) — the plan-build hot path sorts

@@ -263,6 +263,21 @@ def build_permute(target: np.ndarray, n_out: int,
     # were ~2x the cost at 6.5M elements)
     k32 = k.astype(np.int32)
     tr32 = tr.astype(np.int32)
+
+    # native fused assembly: radix order + grouping + both colorings +
+    # map scatters in one C++ pass (native/color.cc mtxio_build_permute;
+    # ValueError on budget overflow propagates, same as the numpy path)
+    from ellspmv_tpu.io import native as _native
+    if len(k32) >= 200_000 and _native.available():
+        try:
+            (l1n, q1n, gsrcn, l1bn, q2n, l3n, HA, HB) = \
+                _native.build_permute_maps(k32, tr32, NBi, NBo, MAX_HALVES)
+        except _native.NativeUnsupported:
+            pass
+        else:
+            return PermutePlan(l1=l1n, q1=q1n, gsrc=gsrcn, l1b=l1bn,
+                               q2=q2n, l3=l3n, NBi=NBi, NBo=NBo,
+                               HA=HA, HB=HB, n_in=n_in, n_out=n_out_pad)
     b = k32 // BLOCK                            # input block
     r1 = (k32 % BLOCK) // 128                   # input row within block
     l1v = k32 % 128                             # input lane

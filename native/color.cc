@@ -192,6 +192,9 @@ static void color_flat(Ctx &c, int64_t m, const int32_t *src0,
 
 }  // namespace
 
+extern "C" int mtxio_argsort_u32(int64_t n, const uint32_t *keys,
+                                 int32_t *order);   // sortperm.cc
+
 extern "C" {
 
 // Colors edges; returns 0 on success. colors_out must hold n_edges bytes.
@@ -246,6 +249,188 @@ int mtxio_edge_color_grouped(int64_t n_edges, const int32_t *src,
     }
     color_flat(c, m, ls.data(), ld.data(), levels, colors_out + lo);
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Full router-map assembly (ellspmv_tpu/ops/permute.py build_permute):
+// given the real elements' stream positions k[] and target positions
+// tr[] (both int32, positions within NBi*16384 / NBo*16384), produce the
+// six routing maps of the 3-stage Clos route in one pass — the radix
+// order, (input block, dest block) grouping, BOTH per-block colorings
+// and the map scatters that cost ~4.5 s of numpy at 7M elements run
+// fused here in ~1 s. Layouts match the numpy builder exactly.
+// Returns 0 ok; 2 = HA exceeds max_halves; 3 = HB exceeds max_halves.
+int mtxio_build_permute(
+    int64_t n_real, const int32_t *k, const int32_t *tr,
+    int64_t NBi, int64_t NBo, int32_t max_halves,
+    uint8_t *l1,      // NBi*16384, zeroed here
+    int8_t *q1,       // NBi*max_halves*16384 capacity; [0, NBi*HA*16384) used
+    int32_t *gsrc,    // NBo*max_halves*128 capacity; [0, NBo*HB*128) used
+    int8_t *l1b,      // NBo*max_halves*16384 capacity; HB prefix used
+    int16_t *q2,      // NBo*16384
+    uint8_t *l3,      // NBo*16384
+    int32_t *ha_hb)   // out: {HA, HB}
+{
+  const int64_t E = n_real;
+  if (E == 0 || E > INT32_MAX) return 1;
+  constexpr int32_t BLK = 128 * 128;
+
+  // radix order by (input block, dest block)
+  std::vector<uint32_t> key(E);
+  for (int64_t i = 0; i < E; i++)
+    key[i] = (uint32_t)(k[i] / BLK) * (uint32_t)NBo + (uint32_t)(tr[i] / BLK);
+  std::vector<int32_t> order(E);
+  if (mtxio_argsort_u32(E, key.data(), order.data())) return 1;
+
+  // groups of equal (b, d) in sorted order
+  std::vector<int32_t> grp_start, grp_b, grp_d;
+  grp_start.reserve(1 << 16);
+  for (int64_t i = 0; i < E; i++) {
+    if (i == 0 || key[order[i]] != key[order[i - 1]]) {
+      grp_start.push_back((int32_t)i);
+      grp_b.push_back(k[order[i]] / BLK);
+      grp_d.push_back(tr[order[i]] / BLK);
+    }
+  }
+  const int64_t n_grp = (int64_t)grp_start.size();
+  grp_start.push_back((int32_t)E);
+
+  // mid rows: group g takes ceil(size/128) rows at its block's cursor
+  std::vector<int32_t> grp_rows(n_grp), grp_row_off(n_grp);
+  std::vector<int32_t> rows_per_b(NBi, 0);
+  for (int64_t g = 0; g < n_grp; g++) {
+    const int32_t sz = grp_start[g + 1] - grp_start[g];
+    grp_rows[g] = (sz + 127) / 128;
+    grp_row_off[g] = rows_per_b[grp_b[g]];      // groups of b contiguous
+    rows_per_b[grp_b[g]] += grp_rows[g];
+  }
+  int32_t HA = 1;
+  for (int64_t b = 0; b < NBi; b++)
+    HA = std::max(HA, (rows_per_b[b] + 127) / 128);
+  if (HA > max_halves) return 2;
+
+  // coloring 1 per input block (elements of b are contiguous in order):
+  // src = input row r1 (0..127), dst = mid row within block (0..HA*128)
+  Ctx c;
+  std::vector<int32_t> ls(BLK), ld(BLK);
+  std::vector<uint8_t> col1(E);
+  std::vector<int32_t> g_of(E);         // sorted pos -> group
+  {
+    for (int64_t g = 0; g < n_grp; g++)
+      for (int32_t i = grp_start[g]; i < grp_start[g + 1]; i++)
+        g_of[i] = (int32_t)g;
+    int64_t i = 0;
+    while (i < E) {
+      const int32_t b = grp_b[g_of[i]];
+      int64_t j = i;
+      while (j < E && grp_b[g_of[j]] == b) j++;
+      const int64_t m = j - i;
+      for (int64_t t = 0; t < m; t++) {
+        const int32_t e = order[i + t];
+        const int32_t g = g_of[i + t];
+        const int32_t within = (int32_t)(i + t) - grp_start[g];
+        ls[t] = (k[e] % BLK) / 128;                       // r1
+        ld[t] = grp_row_off[g] + (within >> 7);           // mid row local
+      }
+      c.n_src = 128;
+      c.n_dst = (int64_t)HA * 128;
+      color_flat(c, m, ls.data(), ld.data(), 7, col1.data() + i);
+      i = j;
+    }
+  }
+
+  // scatter W1 maps
+  std::memset(l1, 0, (size_t)NBi * BLK);
+  std::memset(q1, 0, (size_t)NBi * HA * BLK);
+  for (int64_t i = 0; i < E; i++) {
+    const int32_t e = order[i];
+    const int32_t g = g_of[i];
+    const int32_t b = grp_b[g];
+    const int32_t r1 = (k[e] % BLK) / 128;
+    const int32_t within = (int32_t)i - grp_start[g];
+    const int32_t mid = grp_row_off[g] + (within >> 7);
+    const int32_t c1 = col1[i];
+    l1[(int64_t)b * BLK + (int64_t)r1 * 128 + c1] = (uint8_t)(k[e] % 128);
+    q1[((int64_t)b * HA + (mid >> 7)) * BLK + (int64_t)c1 * 128
+       + (mid & 127)] = (int8_t)r1;
+  }
+
+  // destination-side slots: groups ordered by (d, b)
+  std::vector<int32_t> dorder(n_grp);
+  for (int64_t g = 0; g < n_grp; g++) dorder[g] = (int32_t)g;
+  std::sort(dorder.begin(), dorder.end(), [&](int32_t a, int32_t b2) {
+    return grp_d[a] != grp_d[b2] ? grp_d[a] < grp_d[b2]
+                                 : grp_b[a] < grp_b[b2];
+  });
+  std::vector<int32_t> rows_per_d(NBo, 0), grp_slot(n_grp);
+  for (int64_t t = 0; t < n_grp; t++) {
+    const int32_t g = dorder[t];
+    grp_slot[g] = rows_per_d[grp_d[g]];
+    rows_per_d[grp_d[g]] += grp_rows[g];
+  }
+  int32_t HB = 1;
+  for (int64_t d = 0; d < NBo; d++)
+    HB = std::max(HB, (rows_per_d[d] + 127) / 128);
+  if (HB > max_halves) return 3;
+
+  std::memset(gsrc, 0, (size_t)NBo * HB * 128 * sizeof(int32_t));
+  for (int64_t g = 0; g < n_grp; g++)
+    for (int32_t j = 0; j < grp_rows[g]; j++)
+      gsrc[(int64_t)grp_d[g] * HB * 128 + grp_slot[g] + j] =
+          grp_b[g] * HA * 128 + grp_row_off[g] + j;
+
+  // per-element slot row (in sorted order)
+  std::vector<int32_t> slot(E);
+  for (int64_t i = 0; i < E; i++) {
+    const int32_t g = g_of[i];
+    slot[i] = grp_slot[g] + (((int32_t)i - grp_start[g]) >> 7);
+  }
+
+  // coloring 2 per dest block: counting-sort sorted positions by d
+  std::vector<int32_t> dhead(NBo + 1, 0);
+  for (int64_t i = 0; i < E; i++) dhead[grp_d[g_of[i]] + 1]++;
+  for (int64_t d = 0; d < NBo; d++) dhead[d + 1] += dhead[d];
+  std::vector<int32_t> order2(E);
+  {
+    std::vector<int32_t> pos(dhead.begin(), dhead.end() - 1);
+    for (int64_t i = 0; i < E; i++)
+      order2[pos[grp_d[g_of[i]]]++] = (int32_t)i;
+  }
+  std::vector<uint8_t> col2(E);   // indexed by order2 position
+  for (int64_t d = 0; d < NBo; d++) {
+    const int64_t lo = dhead[d], hi = dhead[d + 1];
+    const int64_t m = hi - lo;
+    if (m == 0) continue;
+    for (int64_t t = 0; t < m; t++) {
+      const int32_t si = order2[lo + t];         // sorted position
+      ls[t] = slot[si];                          // 0..HB*128
+      ld[t] = (tr[order[si]] % BLK) / 128;       // r2
+    }
+    c.n_src = (int64_t)HB * 128;
+    c.n_dst = 128;
+    color_flat(c, m, ls.data(), ld.data(), 7, col2.data() + lo);
+  }
+
+  // scatter W2 maps
+  std::memset(l1b, 0, (size_t)NBo * HB * BLK);
+  std::memset(q2, 0, (size_t)NBo * BLK * sizeof(int16_t));
+  std::memset(l3, 0, (size_t)NBo * BLK);
+  for (int64_t p = 0; p < E; p++) {
+    const int32_t si = order2[p];
+    const int32_t e = order[si];
+    const int32_t d = grp_d[g_of[si]];
+    const int32_t r2 = (tr[e] % BLK) / 128;
+    const int32_t l2 = tr[e] % 128;
+    const int32_t s = slot[si];
+    const int32_t c2 = col2[p];
+    l1b[((int64_t)d * HB + (s >> 7)) * BLK + (int64_t)(s & 127) * 128
+        + c2] = (int8_t)col1[si];
+    q2[(int64_t)d * BLK + (int64_t)c2 * 128 + r2] = (int16_t)s;
+    l3[(int64_t)d * BLK + (int64_t)r2 * 128 + l2] = (uint8_t)c2;
+  }
+  ha_hb[0] = HA;
+  ha_hb[1] = HB;
   return 0;
 }
 

@@ -83,6 +83,43 @@ def test_permute_matches_oracle(seed, n, n_out):
     np.testing.assert_array_equal(out2[ok], want2[ok])
 
 
+def test_permute_native_assembly_matches_numpy():
+    """Above the 200K-element threshold the fused C++ assembly
+    (native/color.cc mtxio_build_permute) builds the plan; it must
+    produce a routing equivalent to the numpy builder (maps may differ —
+    colorings are not unique — but the applied permutation must be
+    identical), and both paths must enforce the half-block budget."""
+    from ellspmv_tpu.io import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    n = 260_000
+    n_out = 300_000
+    target = np.full(n, -1, np.int64)
+    n_real = int(0.9 * n)
+    ks = rng.choice(n, n_real, replace=False)
+    # block-local-ish targets so the half-block budget holds at scale
+    # (mirror the stream builder's megablock pre-ordering)
+    tr = np.sort(rng.choice(n_out, n_real, replace=False))
+    target[np.sort(ks)] = tr
+    vals = rng.randn(n).astype(np.float32)
+
+    plan_native = build_permute(target, n_out)
+    (out_n,) = apply_permute(plan_native, vals, interpret=True)
+    import os
+    os.environ["ELLSPMV_TPU_NO_NATIVE"] = "1"
+    try:
+        plan_np = build_permute(target, n_out)
+    finally:
+        del os.environ["ELLSPMV_TPU_NO_NATIVE"]
+    (out_np,) = apply_permute(plan_np, vals, interpret=True)
+    assert (plan_native.HA, plan_native.HB) == (plan_np.HA, plan_np.HB)
+    want = _apply_oracle(target, vals, plan_native.n_out)
+    ok = ~np.isnan(want)
+    np.testing.assert_array_equal(np.asarray(out_n)[ok], want[ok])
+    np.testing.assert_array_equal(np.asarray(out_np)[ok], want[ok])
+
+
 def test_permute_empty_and_single():
     plan = build_permute(np.full(100, -1, np.int64), 100)
     (out,) = apply_permute(plan, np.zeros(100, np.float32),
