@@ -210,6 +210,45 @@ def test_stream_router_active_and_matches_sort(rng):
     np.testing.assert_array_equal(got1, got2)
 
 
+def test_stream_folded_buckets_and_gap_keys(rng):
+    """Exercise the supertiled sum buckets (_fold_buckets: S=1 tiles fold
+    16 per grid step, with a sub=1 tail) and the aligned-run gap-filler
+    keys on BOTH the router and sort paths. 80K mostly-1-entry rows give
+    a 79-tile S=1 bucket (folds 4x16 + 15 tail); a few heavier rows give
+    partial runs whose alignment gaps must be zero-filled by the sort."""
+    import os
+    n = 80_000
+    rows = np.arange(n, dtype=np.int64)
+    # heavy rows -> partial (non-128-multiple) runs in the S>=2 buckets
+    heavy = rng.choice(n, 40, replace=False)
+    rows = np.concatenate([rows, np.repeat(heavy, 7)])
+    cols = rng.randint(0, n, len(rows))
+    vals = rng.randn(len(rows))
+    from ellspmv_tpu.formats.coo import CooMatrix
+    coo = CooMatrix(n, n, rows.astype(np.int64), cols.astype(np.int64),
+                    vals)
+    x = rng.rand(n)
+    sm = stream_from_coo(coo, value_dtype=np.float64)
+    assert any(b.sub > 1 for lv in sm.ddsum.levels for b in lv.buckets), \
+        "expected at least one folded bucket"
+    got = np.asarray(stream_spmv(sm, x), np.float64)
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    want = coo_spmv_numpy(coo, x)
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-13
+    os.environ["ELLSPMV_TPU_NO_PERMUTE"] = "1"
+    try:
+        sm2 = stream_from_coo(coo, value_dtype=np.float64)
+        # sort path carries the gap-filler keys beyond the entry count
+        assert len(np.asarray(sm2.ddsum.levels[0].keys)) \
+            >= sm2.ddsum.levels[0].in_len
+        got2 = np.asarray(stream_spmv(sm2, x), np.float64)
+    finally:
+        del os.environ["ELLSPMV_TPU_NO_PERMUTE"]
+    err2 = np.max(np.abs(got2 - want)) / np.max(np.abs(want))
+    assert err2 < 1e-13
+
+
 def test_auto_picks_dia_for_stencil(rng, monkeypatch):
     """The auto chooser prices the gather-free DIA kernel for
     diagonal-dense matrices (round-2: DIA is the fastest stencil path)."""
