@@ -94,7 +94,10 @@ def main():
           f"(mean {total_trips / max(n_slot_steps, 1):.2f}/slot)")
     print(f"ops/iter: gather {n_gather:,}  select {n_select:,} "
           f"cmp {n_cmp:,}  dd_fma {n_ddfma:,}  slice {n_slices:,}")
-    print(f"plan bytes/iter: {bytes_per_iter and bytes_per_iter / 1e6:.1f} MB"
+    if bytes_per_iter is None:
+        print("plan bytes/iter: unavailable (no cached device plan)")
+        return
+    print(f"plan bytes/iter: {bytes_per_iter / 1e6:.1f} MB"
           f" -> HBM floor at 819 GB/s: "
           f"{bytes_per_iter / 819e9 * 1e3:.3f} ms")
     if args.gather_ns is not None:

@@ -120,6 +120,15 @@ def run_suite(quick: bool = False, as_json: bool = False,
     # DIA is so fast the slope needs many iterations to resolve
     record(f"config1 poisson {nx}x{nx} DIA f64", _bench(dia, x, 256),
            note="gather-free")
+    # IDXTYPEWIDTH=64 analogue (ellspmv.c:112-130, README:25-30): the
+    # windowed plan quantizes columns to window-local int8/int16 offsets,
+    # so the kernel moves identical bytes at either index width — unlike
+    # the reference, whose ellgemv loads idx_t per nonzero (measured
+    # identical 0.099 ms at both widths, round 4)
+    ell64 = ell_from_coo(coo, sort_rows=True, value_dtype=np.float64,
+                         index_dtype="int64").device_put()
+    record(f"config1 poisson {nx}x{nx} ELL f64 idx64",
+           _bench(ell64, x, 128), note="--index-width=64")
 
     # --- headline: FEM mesh, auto-chosen flagship format ------------------
     # bench.py's config (the reference's Lynx68-class matrix stand-in,

@@ -185,8 +185,6 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         else:
             cols, vals = cols2.astype(np.int32), vals2
             prod_len = prod_len2
-            keys2 = np.full(prod_len2, _I32_SENTINEL, np.int32)
-            keys2[pos2] = keys[:nnz][pre]
             # the router owns the reorder; the sort keys are dead weight
             # (28 MB of device transfer at config3 scale)
             lvl1.keys = np.zeros(0, np.int32)

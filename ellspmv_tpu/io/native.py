@@ -65,9 +65,28 @@ def _load():
         if not os.path.exists(_LIB_PATH) and not _try_build():
             _load_failed = True
             return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+        lib = None
+        for attempt in range(2):
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                lib = None
+            # version gate: a STALE prebuilt .so (the file is gitignored
+            # and only auto-built when missing) lacks the newest symbols;
+            # binding them later would raise AttributeError deep inside a
+            # conversion instead of falling back. Rebuild once, else
+            # treat the library as unavailable.
+            if lib is not None and hasattr(lib, "mtxio_build_permute"):
+                break
+            lib = None
+            if attempt == 0:
+                try:
+                    os.remove(_LIB_PATH)
+                except OSError:
+                    pass
+                if not _try_build():
+                    break
+        if lib is None:
             _load_failed = True
             return None
         lib.mtxio_read_matrix.restype = ctypes.POINTER(_MtxResult)
@@ -299,7 +318,9 @@ def argsort(keys) -> np.ndarray:
     back to np.argsort when the library is unavailable."""
     keys = np.asarray(keys)
     n = len(keys)
-    lib = _load()
+    # available() (not a bare _load()) so ELLSPMV_TPU_NO_NATIVE really
+    # rules out every native code path, as the debugging knob promises
+    lib = _load() if available() else None
     if lib is None or n < 100_000 or keys.dtype.kind not in "iu":
         return np.argsort(keys, kind="stable")
     if not getattr(lib, "_argsort_bound", False):

@@ -312,6 +312,11 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
             # the sort keys are dead once the router owns the reorder:
             # dropping them saves their device transfer at conversion time
             lv.keys = np.zeros(0, np.int32)
+    # tkeys only feed the final_keys concat at build time; never read at
+    # runtime — keep them off the device transfer (before any early
+    # return below, so the cleanup happens regardless of min_len)
+    for lv in plan.levels:
+        lv.tkeys = np.zeros(0, np.int32)
     # final reorder: every row terminates exactly once, so the sorted
     # position of a terminal output IS its row id
     fk = np.asarray(plan.final_keys)
@@ -326,10 +331,6 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
         pass
     else:
         plan.final_keys = np.zeros(0, np.int32)
-    # tkeys only feed the final_keys concat at build time; never read at
-    # runtime — keep them off the device transfer
-    for lv in plan.levels:
-        lv.tkeys = np.zeros(0, np.int32)
 
 
 def _build_level(dest: np.ndarray, n_rows: int, cap: int,

@@ -274,6 +274,9 @@ int mtxio_build_permute(
 {
   const int64_t E = n_real;
   if (E == 0 || E > INT32_MAX) return 1;
+  // the combined radix key must fit uint32; past that the numpy builder
+  // (uint64 keys) takes over via the caller's fallback
+  if (NBi * NBo >= (int64_t(1) << 32)) return 1;
   constexpr int32_t BLK = 128 * 128;
 
   // radix order by (input block, dest block)
