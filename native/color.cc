@@ -50,8 +50,10 @@ struct Ctx {
 
 // pair consecutive incident edges of each node within the slice
 // [0, sm) of `node` (subset-local ids); partner[i] = -1 or local id.
-static void pair_side(Ctx &c, const int32_t *node, int64_t sm,
+// Returns whether ANY pair was created (false = this side is a matching).
+static bool pair_side(Ctx &c, const int32_t *node, int64_t sm,
                       int64_t n_nodes, std::vector<int32_t> &partner) {
+  bool any = false;
   for (int64_t i = 0; i < sm; i++) partner[i] = -1;
   if (sm * 8 >= n_nodes) {
     c.head.assign(n_nodes + 1, 0);
@@ -70,6 +72,7 @@ static void pair_side(Ctx &c, const int32_t *node, int64_t sm,
       for (int64_t t = i; t + 1 < j; t += 2) {
         partner[order[t]] = order[t + 1];
         partner[order[t + 1]] = order[t];
+        any = true;
       }
       i = j;
     }
@@ -84,10 +87,12 @@ static void pair_side(Ctx &c, const int32_t *node, int64_t sm,
       for (int64_t t = i; t + 1 < j; t += 2) {
         partner[c.kv[t].second] = c.kv[t + 1].second;
         partner[c.kv[t + 1].second] = c.kv[t].second;
+        any = true;
       }
       i = j;
     }
   }
+  return any;
 }
 
 // Color `m` edges with local node ids (src < n_src, dst < n_dst) into
@@ -134,8 +139,26 @@ static void color_flat(Ctx &c, int64_t m, const int32_t *src0,
       const int32_t *ls = c.src[cur].data() + lo;
       const int32_t *ld = c.dst[cur].data() + lo;
       if (sm > 0) {
-        pair_side(c, ls, sm, c.n_src, c.pa);
-        pair_side(c, ld, sm, c.n_dst, c.pb);
+        const bool pa_any = pair_side(c, ls, sm, c.n_src, c.pa);
+        const bool pb_any = pair_side(c, ld, sm, c.n_dst, c.pb);
+        // matching early-out: a subset with no pairing links on either
+        // side has per-node degree <= 1, so ANY single color in its
+        // leaf range is proper — skip the remaining levels' walks and
+        // copies (they would pass the whole set through h0 every level)
+        if (!last) {
+          if (!pa_any && !pb_any) {
+            const int remaining = levels - lev;
+            const uint8_t color = (uint8_t)(j << remaining);
+            for (int64_t s = 0; s < sm; s++)
+              colors_out[ids[s]] = color;
+            // keep the leaf indexing consistent: this subset's subtree
+            // collapses to its leftmost leaf; emit empty h0/h1 so later
+            // subsets' leaf indices are unchanged
+            bn.push_back(cursor);
+            bn.push_back(cursor);
+            continue;
+          }
+        }
         std::memset(c.seen.data(), 0, sm);
         int32_t n1 = 0;
         auto emit = [&](int32_t local, int parity) {
