@@ -39,15 +39,31 @@ _XLA_GATHER_NS = 12.5
 _SEGSUM_NS = 125.0
 
 
-def _stream_price(nnz: int) -> float:
-    """Estimated ns per SpMV for the stream format at this nnz."""
+def _stream_price(nnz: int, ncols: int | None = None) -> float:
+    """Estimated ns per SpMV for the stream format at this nnz.
+
+    The routed rate was measured at ~1M columns, where the product
+    kernel's per-tile window span sits at its column-density floor
+    (ks_mean ~6.4). The span scales as ncols * n_mega_groups / nnz, and
+    a 10M-column / 65M-nnz instance measured ks_mean 35.9 and 3.7x the
+    per-nnz cost (BENCH_NOTES round 4, 10x probe) — scale the products
+    share of the price by the predicted span so the chooser does not
+    pick a stream it cannot route at the calibrated rate."""
     import os
 
     from ellspmv_tpu.bench import calibrate
-    rate = ("stream_ns_per_nnz"
-            if os.environ.get("ELLSPMV_TPU_NO_PERMUTE")
-            else "stream_routed_ns_per_nnz")
-    return calibrate.get(rate) * nnz + _STREAM_FIXED_NS
+    rate_name = ("stream_ns_per_nnz"
+                 if os.environ.get("ELLSPMV_TPU_NO_PERMUTE")
+                 else "stream_routed_ns_per_nnz")
+    rate = calibrate.get(rate_name)
+    if ncols and rate_name == "stream_routed_ns_per_nnz" and nnz > 0:
+        BLOCK = 128 * 128
+        n_blocks = -(-nnz // BLOCK)
+        n_groups = max(-(-n_blocks // 128), 1)
+        ks_pred = 1024.0 * ncols * n_groups / nnz / 128.0
+        # products were ~27% of the measured 1M pipeline at ks ~6.4
+        rate *= 0.73 + 0.27 * max(ks_pred, 6.4) / 6.4
+    return rate * nnz + _STREAM_FIXED_NS
 
 
 def _price_sell(sm, dd: bool) -> float:
@@ -137,7 +153,7 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         # make it strictly worse on v5e (BENCH_NOTES: 27.4 ms hybrid vs
         # 1.7 ms stream at 125k rows).
         blow = f"ELL padding blowup ({ellsize:,} slots for {nnz:,} nonzeros)"
-        stream_ns = _stream_price(nnz)
+        stream_ns = _stream_price(nnz, coo.num_columns)
         from ellspmv_tpu.formats.sell import sell_from_coo
         try:
             sell = sell_from_coo(coo, sort_rows=True, length_sort=True,
@@ -194,7 +210,7 @@ def auto_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                        sort_rows=sort_rows, value_dtype=value_dtype,
                        index_dtype=index_dtype)
     dp = ell_pallas.get_plan(ell)
-    stream_ns = _stream_price(nnz)
+    stream_ns = _stream_price(nnz, coo.num_columns)
     if dp is None:
         # no windowed plan (no column locality): XLA fallback would gather
         # element-wise (~80M elem/s on v5e) — stream wins beyond tiny n
