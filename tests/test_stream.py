@@ -167,6 +167,21 @@ def test_auto_format_chooser(rng):
         skewed, "_auto_reason", "?")
 
 
+def test_stream_price_scales_with_column_span():
+    """The routed-stream price must rise with the predicted product-scan
+    span (ks_mean exploded 6.4 -> 35.9 at a 10M-column / 65M-nnz probe,
+    BENCH_NOTES round 4): a chooser pricing streams at the 1M-column
+    rate would pick a stream it cannot route at that rate."""
+    from ellspmv_tpu.formats.auto import _stream_price
+    nnz = 65_000_000
+    at_1m = _stream_price(nnz, 1_000_000)
+    at_10m = _stream_price(nnz, 10_000_000)
+    assert at_10m > 1.5 * at_1m
+    # below the measured span floor the correction is a no-op
+    assert _stream_price(7_000_000, 1_000_000) == pytest.approx(
+        _stream_price(7_000_000, 700_000), rel=0.2)
+
+
 def test_stream_bfloat16_precision(rng):
     """--precision=bfloat16 maps to the f32 kernel path with bf16 storage
     rounding; results agree at bf16-level tolerance."""
