@@ -62,7 +62,11 @@ def _pow2ceil(x: int) -> int:
 # Pallas kernel: one bucket (uniform slot count S) of tiles.
 # --------------------------------------------------------------------------
 
-def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2,
+_SUM_NACC = int(__import__("os").environ.get("ELLSPMV_TPU_SUM_NACC",
+                                              "2"))
+
+
+def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = None,
                      sub: int = 1):
     """Per grid step: DMA the window of the sorted value stream covering
     `sub` consecutive tiles' runs (double-buffered), then for each
@@ -71,6 +75,10 @@ def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2,
     (G, 128) lane grid at window rows [o>>7, o>>7 + G) — mask by the run
     count (lanes >= c belong to the next run / alignment pad) and add."""
 
+    if nacc is None:
+        # with the aligned-run slice-only steps the per-slot dd-add chain
+        # is the critical path; independent accumulators pipeline it
+        nacc = _SUM_NACC
     unroll = S <= 16
 
     def kernel(es_ref, oc_ref, *rest):
@@ -143,10 +151,32 @@ def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = 2,
                     else:
                         acc = acc + a2
             else:
-                acc, acc_l = jax.lax.fori_loop(
-                    jnp.int32(jS), jnp.int32(jS + S),
-                    lambda s, c_: slot_step(s, *c_),
-                    (zero(), zero() if dd else jnp.float32(0)))
+                # wide slot spaces: fori over rounds of `na` slots so the
+                # independent accumulators still break the serial dd-add
+                # chain (a plain per-slot fori would serialize everything)
+                na = max(1, min(nacc, S))
+                while S % na:
+                    na -= 1
+
+                def round_body(r_, carry):
+                    accs = list(carry)
+                    base = jnp.int32(jS) + r_ * jnp.int32(na)
+                    for k2 in range(na):
+                        accs[k2] = slot_step(base + jnp.int32(k2),
+                                             *accs[k2])
+                    return tuple(accs)
+
+                carry0 = tuple((zero(), zero() if dd else jnp.float32(0))
+                               for _ in range(na))
+                accs = jax.lax.fori_loop(jnp.int32(0),
+                                         jnp.int32(S // na),
+                                         round_body, carry0)
+                acc, acc_l = accs[0]
+                for a2, a2l in accs[1:]:
+                    if dd:
+                        acc, acc_l = _dd_add(acc, acc_l, a2, a2l)
+                    else:
+                        acc = acc + a2
             return acc, acc_l
 
         for j in range(sub):
