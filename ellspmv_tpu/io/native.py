@@ -45,16 +45,20 @@ class _MtxResult(ctypes.Structure):
     ]
 
 
-def _try_build() -> bool:
+def _try_build(target: str | None = None) -> bool:
     makefile = os.path.join(_NATIVE_DIR, "Makefile")
     if not os.path.exists(makefile):
         return False
+    cmd = ["make", "-C", _NATIVE_DIR, "-s"]
+    if target is not None:
+        # out-of-place rebuild (stale-version path): never clobber the
+        # existing library until the new one links successfully
+        cmd += [f"TARGET={target}", "-B"]
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
-                       check=True, capture_output=True, timeout=300)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except Exception:
         return False
-    return os.path.exists(_LIB_PATH)
+    return os.path.exists(target if target is not None else _LIB_PATH)
 
 
 def _load():
@@ -80,11 +84,15 @@ def _load():
                 break
             lib = None
             if attempt == 0:
+                # rebuild to a temp path and replace only on success: on a
+                # host without a working compiler the old (stale but
+                # partially functional) library survives
+                tmp = _LIB_PATH + ".new"
+                if not _try_build(tmp):
+                    break
                 try:
-                    os.remove(_LIB_PATH)
+                    os.replace(tmp, _LIB_PATH)
                 except OSError:
-                    pass
-                if not _try_build():
                     break
         if lib is None:
             _load_failed = True

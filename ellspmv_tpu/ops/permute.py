@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -290,7 +291,6 @@ def build_permute(target: np.ndarray, n_out: int,
     # half-block span. Any element order WITHIN a (b, d) group is valid
     # (each element carries its own target), so one radix pass on the
     # combined block key replaces the old 3-key lexsort.
-    from ellspmv_tpu.io import native as _native
     order = _native.argsort(b.astype(np.uint64) * np.uint64(NBo)
                             + d.astype(np.uint64))
     ob, od = b[order], d[order]
@@ -403,8 +403,7 @@ def build_permute(target: np.ndarray, n_out: int,
 # amortizes (~0.2 ms across W1+W2) is smaller than the pipeline-overlap
 # loss from 4x coarser double-buffering granularity. Default 1; the env
 # knob keeps the ablation reproducible.
-GRID_BATCH = int(__import__("os").environ.get("ELLSPMV_TPU_ROUTE_BATCH",
-                                              "1"))
+GRID_BATCH = int(os.environ.get("ELLSPMV_TPU_ROUTE_BATCH", "1"))
 
 
 def _make_w1_kernel(HA: int, n_payload: int, B: int):
@@ -523,7 +522,7 @@ def apply_permute(plan: PermutePlan, *payloads, interpret: bool = False):
     taken = [jnp.take(m.reshape(plan.NBi * plan.HA * 128, 128), gsrc,
                       axis=0).reshape(plan.NBo, plan.HB, 128, 128)
              for m in mids]
-    if __import__("os").environ.get("ELLSPMV_TPU_SKIP_W2"):
+    if os.environ.get("ELLSPMV_TPU_SKIP_W2"):
         # measurement ablation (WRONG results): drop the W2 pass but keep
         # a same-shape copy, so the pipeline time delta vs the full run
         # bounds W2's traffic+compute for the exact-accounting validation

@@ -62,10 +62,6 @@ def _pow2ceil(x: int) -> int:
 # Pallas kernel: one bucket (uniform slot count S) of tiles.
 # --------------------------------------------------------------------------
 
-_SUM_NACC = int(__import__("os").environ.get("ELLSPMV_TPU_SUM_NACC",
-                                              "2"))
-
-
 def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = None,
                      sub: int = 1):
     """Per grid step: DMA the window of the sorted value stream covering
@@ -78,7 +74,10 @@ def _make_sum_kernel(S: int, K: int, T: int, dd: bool, nacc: int = None,
     if nacc is None:
         # with the aligned-run slice-only steps the per-slot dd-add chain
         # is the critical path; independent accumulators pipeline it
-        nacc = _SUM_NACC
+        # (env read at call time like every other ELLSPMV_TPU_* knob, so
+        # sweep harnesses / monkeypatches set after import still apply)
+        import os
+        nacc = int(os.environ.get("ELLSPMV_TPU_SUM_NACC", "2"))
     unroll = S <= 16
 
     def kernel(es_ref, oc_ref, *rest):
@@ -365,7 +364,8 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
 
 def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                  include_empty_rows: bool, forward_all: bool = False,
-                 forced=None):
+                 forced=None, force_multi: np.ndarray | None = None,
+                 empty_terminal: np.ndarray | None = None):
     """One sum level. `dest` maps each input position to a row (-1 = pad).
 
     Rows with <= cap entries complete here: their sums land in the
@@ -375,6 +375,15 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
     positions to parent rows for the next level. `include_empty_rows`
     gives 0-entry rows a terminal zero (level 1 only: deeper levels must
     not re-emit rows that completed earlier).
+
+    Column-chunked streams (formats/stream.py at wide-column scale) build
+    one level per column chunk: `force_multi` (bool per row) marks rows
+    with entries in OTHER chunks too, whose partial sums here must feed
+    the merge level rather than terminate, and `empty_terminal` (bool per
+    row) replaces the blanket include_empty_rows with an explicit mask of
+    count-0 rows owed a terminal zero by THIS chunk (exactly one chunk
+    may own a row's zero, or the final reorder would see duplicate
+    targets).
 
     SPMD options (sharded stream): `forward_all=True` marks EVERY row as
     multi, so the whole output feeds the next level (pass-through
