@@ -52,10 +52,17 @@ def main():
     strm = stream_from_coo(coo, value_dtype=np.float64)
     t_conv = time.perf_counter() - t0
     perm = strm.ddsum.levels[0].perm
+    nchunk = max(len(strm.ddsum.chunk_bases) - 1, 1)
     print(f"stream_from_coo: {t_conv:.2f} s, "
-          f"{len(strm.ddsum.levels)} levels, prod_len {strm.prod_len:,}, "
+          f"{len(strm.ddsum.levels)} levels, {nchunk} column chunks, "
+          f"prod_len {strm.prod_len:,}, "
           f"router: {'ON (HA=%d HB=%d NBi=%d NBo=%d)' % (perm.HA, perm.HB, perm.NBi, perm.NBo) if perm is not None else 'OFF (sort)'}",
           flush=True)
+    for li, lv in enumerate(strm.ddsum.levels[1:], 1):
+        print(f"  level {li}: in {lv.in_len:,} -> out {lv.out_len:,} "
+              f"(multi {lv.multi_len:,}), "
+              f"router {'ON' if lv.perm is not None else 'OFF (sort)'}",
+              flush=True)
     if strm.prod is not None:
         p = strm.prod.plan
         print(f"product plan: {p.num_tiles} tiles, G={p.G}, KS={p.KS}, "

@@ -44,11 +44,12 @@ def _stream_price(nnz: int, ncols: int | None = None) -> float:
 
     The routed rate was measured at ~1M columns, where the product
     kernel's per-tile window span sits at its column-density floor
-    (ks_mean ~6.4). The span scales as ncols * n_mega_groups / nnz, and
-    a 10M-column / 65M-nnz instance measured ks_mean 35.9 and 3.7x the
-    per-nnz cost (BENCH_NOTES round 4, 10x probe) — scale the products
-    share of the price by the predicted span so the chooser does not
-    pick a stream it cannot route at the calibrated rate."""
+    (ks_mean ~6.4). Beyond ~1.5M columns the builder column-chunks the
+    stream (formats/stream.py): each chunk's per-tile span returns to
+    ~span_chunk/262144 at the cost of one extra merge sum level over the
+    per-chunk partials. Price both effects: the products share scales
+    with the predicted chunked span, and chunked instances pay a merge
+    surcharge proportional to the forwarded-partial fraction."""
     import os
 
     from ellspmv_tpu.bench import calibrate
@@ -58,11 +59,22 @@ def _stream_price(nnz: int, ncols: int | None = None) -> float:
     rate = calibrate.get(rate_name)
     if ncols and rate_name == "stream_routed_ns_per_nnz" and nnz > 0:
         BLOCK = 128 * 128
-        n_blocks = -(-nnz // BLOCK)
+        span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN",
+                                      "1500000"))
+        n_chunks = max(1, -(-ncols // span_max))
+        n_chunks = min(n_chunks, max(1, nnz // (128 * BLOCK)))
+        span_c = -(-ncols // n_chunks)
+        nnz_c = max(nnz // n_chunks, 1)
+        n_blocks = -(-nnz_c // BLOCK)
         n_groups = max(-(-n_blocks // 128), 1)
-        ks_pred = 1024.0 * ncols * n_groups / nnz / 128.0
+        ks_pred = 1024.0 * span_c * n_groups / nnz_c / 128.0
         # products were ~27% of the measured 1M pipeline at ks ~6.4
         rate *= 0.73 + 0.27 * max(ks_pred, 6.4) / 6.4
+        if n_chunks > 1:
+            # merge level: ~one partial per (touched row, chunk) streams
+            # through a second route+sum — bounded by nnz, shrinking
+            # when rows confine to single chunks
+            rate *= 1.0 + 0.35 * min(1.0, ncols / max(nnz / 6.5, 1))
     return rate * nnz + _STREAM_FIXED_NS
 
 

@@ -114,7 +114,36 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     prod_len = max(_round_up(nnz, BLOCK), BLOCK)
     dest = np.full(prod_len, -1, np.int64)
     dest[:nnz] = rows
-    ddsum = build_stream_sum(dest, n_rows=n, cap=cap)
+
+    # COLUMN CHUNKING (wide-column scale): the product kernel's per-tile
+    # window span is set by mega-group column density — span_tile ~
+    # group_span / (128 * E_group) * 1024 — and with one global dest
+    # space the group span is the whole column image, so ks grows
+    # linearly with ncols (measured 6.4 -> 35.9 at 1M -> 10M columns,
+    # BENCH_NOTES round 4; the reference's CPU gathers are scale-flat,
+    # csrspmv.c:1590-1592). Splitting the columns into chunks with
+    # PER-CHUNK partial-sum dest spaces shrinks the group span with the
+    # chunk while mega groups stay full (~128*BLOCK entries targeting the
+    # chunk's own stream region), so ks returns to its 1M-column floor at
+    # any scale; the standard deeper sum levels merge the partials.
+    span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "1500000"))
+    n_chunks = max(1, -(-m // span_max))
+    # chunks sparser than ~one full mega group cannot reach the density
+    # floor anyway (density <= nnz/ncols regardless of chunking)
+    n_chunks = min(n_chunks, max(1, nnz // (128 * BLOCK)))
+    forced_chunks = os.environ.get("ELLSPMV_TPU_STREAM_CHUNKS")
+    if forced_chunks:            # tests / hardware sweeps
+        n_chunks = max(1, min(int(forced_chunks), max(m, 1)))
+    if n_chunks > 1:
+        width = -(-m // n_chunks)
+        edges = np.arange(1, n_chunks, dtype=np.int64) * width
+        cs = np.searchsorted(cols, edges).astype(np.int64)
+        chunk_starts = np.concatenate([[0], cs, [prod_len]])
+        ddsum = build_stream_sum(dest, n_rows=n, cap=cap,
+                                 chunk_starts=chunk_starts)
+    else:
+        chunk_starts = None
+        ddsum = build_stream_sum(dest, n_rows=n, cap=cap)
 
     # replace the level-1 runtime key sort with a statically planned
     # routing (ops/permute.py): every entry's sorted position (= rank of
@@ -140,10 +169,28 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         mega_elems = int(os.environ.get("ELLSPMV_TPU_STREAM_MEGA",
                                         BLOCK * 128))
         blocks_per_group = max(mega_elems // BLOCK, 1)
-        nbo = max(-(-(lvl1.in_rows * 128) // BLOCK), 1)
-        n_groups = max(-(-nbo // blocks_per_group), 1)
-        bpg = -(-nbo // n_groups)
-        mega = (target[:nnz] // BLOCK) // bpg
+        if chunk_starts is not None:
+            # per-chunk balanced mega partition over the chunk's OWN
+            # stream region (group ids globally unique so the group-pad
+            # pass below never merges groups across chunks)
+            bases = ddsum.chunk_bases
+            mega = np.empty(nnz, np.int64)
+            gbase = 0
+            for c in range(n_chunks):
+                s = int(chunk_starts[c])
+                e = min(int(chunk_starts[c + 1]), nnz)
+                nbo_c = max((bases[c + 1] - bases[c]) // BLOCK, 1)
+                ng = max(-(-nbo_c // blocks_per_group), 1)
+                bpg_c = -(-nbo_c // ng)
+                if e > s:
+                    mega[s:e] = (gbase + ((target[s:e] - bases[c])
+                                          // BLOCK) // bpg_c)
+                gbase += ng
+        else:
+            nbo = max(-(-(lvl1.in_rows * 128) // BLOCK), 1)
+            n_groups = max(-(-nbo // blocks_per_group), 1)
+            bpg = -(-nbo // n_groups)
+            mega = (target[:nnz] // BLOCK) // bpg
         # single radix pass on the compact combined key (mega * m + col
         # keeps the active bits low so the native byte-radix skips most
         # passes); a 2-key lexsort costs two full argsort passes at nnz

@@ -296,6 +296,12 @@ class StreamSumPlan:
     num_rows: int = dataclasses.field(metadata=dict(static=True))
     # static routing for the final natural-order reorder (None = sort)
     final_perm: object = None
+    # column-chunked level 1 (wide-column scale): BLOCK-aligned global
+    # stream base of each chunk's region, C+1 cumulative entries; () when
+    # unchunked. Build-time metadata for the stream builder's per-chunk
+    # mega grouping — never read at runtime.
+    chunk_bases: tuple = dataclasses.field(default=(),
+                                           metadata=dict(static=True))
 
     def device_put(self):
         return jax.tree_util.tree_map(jnp.asarray, self)
@@ -416,7 +422,9 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
 
     # split rows longer than cap into sub-rows of <= cap entries
     nsub = np.maximum(-(-counts // cap), 1)
-    if not include_empty_rows:
+    if empty_terminal is not None:
+        nsub[(counts == 0) & ~empty_terminal] = 0
+    elif not include_empty_rows:
         nsub[counts == 0] = 0
     sub_base = np.concatenate([[0], np.cumsum(nsub)])
     n_vrows = int(sub_base[-1])
@@ -436,6 +444,8 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
         vrow_multi = np.ones(n_vrows, bool)
     else:
         vrow_multi = (counts > cap)[parent]          # (n_vrows,)
+        if force_multi is not None:
+            vrow_multi |= force_multi[parent]
     sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
     n_multi_v = int(vrow_multi.sum())
     n_multi_pad = _round_up(n_multi_v, R) if n_multi_v else 0
@@ -641,13 +651,200 @@ def _fold_buckets(level: SumLevel, max_k: int = 1024) -> None:
     level.buckets = new
 
 
-def build_stream_sum(dest: np.ndarray, n_rows: int,
-                     cap: int = 128) -> StreamSumPlan:
+def _splice_chunk_levels(parts):
+    """Merge per-chunk level-1 builds into ONE SumLevel over a global
+    stream whose chunk regions are consecutive BLOCK-aligned slices.
+
+    `parts` is a chunk-ordered list of (level, out_dest, stream_top,
+    seg_len); level is None for a chunk with no entries and no owed
+    terminals (its seg contributes sentinel keys only). Output tiles are
+    regrouped (multi buckets first, then single, S ascending, chunks
+    interleaved within equal S) so same-S buckets across chunks merge
+    into ONE kernel call — without the merge, C chunks x ~8 pow2 buckets
+    would each compile and launch separately. Returns (level,
+    out_dest_global | None, chunk_bases)."""
+    from ellspmv_tpu.ops.permute import BLOCK
+
+    bases, pos = [], 0
+    for (lv, od, top, seg_len) in parts:
+        bases.append(pos)
+        if lv is not None:
+            pos += _round_up(max(int(top), 1), BLOCK)
+    bases.append(pos)
+    if pos + 1 >= np.iinfo(np.int32).max:
+        raise ValueError("chunked stream position space exceeds int32")
+
+    key_parts, gap_parts = [], []
+    tiles = []          # (group, S, chunk, estart_glob, oc, K, seg)
+    in_rows_glob = _round_up(max(pos, 128), 128) // 128
+    for ci, (lv, od, top, seg_len) in enumerate(parts):
+        if lv is None:
+            key_parts.append(np.full(seg_len, _I32_SENTINEL, np.int32))
+            continue
+        base = bases[ci]
+        base_rows = base // 128
+        k = np.asarray(lv.keys)
+        ent = k[:lv.in_len]
+        key_parts.append(np.where(
+            ent == _I32_SENTINEL, np.int32(_I32_SENTINEL),
+            (ent.astype(np.int64) + base).astype(np.int32)))
+        # gap fillers: the level's own aligned-run interior pad, plus the
+        # inter-chunk BLOCK pad [top, base_next) — the sort fallback needs
+        # every position below the top filled so rank == position
+        g = k[lv.in_len:].astype(np.int64) + base
+        top_i = max(int(top), 1)
+        inter = np.arange(base + top_i, bases[ci + 1], dtype=np.int64)
+        gap_parts.append(np.concatenate([g, inter]).astype(np.int32))
+        in_rows_glob = max(in_rows_glob, base_rows + lv.in_rows)
+        off = 0
+        tk = np.asarray(lv.tkeys)
+        for b in lv.buckets:
+            assert b.sub == 1, "splice happens before folding"
+            span = b.T * R
+            is_multi = off < lv.multi_len
+            est = (np.asarray(b.estart, np.int64)
+                   + base_rows).astype(np.int32)
+            seg = (od[off:off + span] if is_multi
+                   else tk[off - lv.multi_len:off - lv.multi_len + span])
+            tiles.append((0 if is_multi else 1, b.S, ci, est,
+                          np.asarray(b.oc), b.K, seg))
+            off += span
+
+    tiles.sort(key=lambda t: (t[0], t[1], t[2]))
+    buckets, od_parts, tk_parts = [], [], []
+    multi_tiles = 0
+    i = 0
+    while i < len(tiles):
+        j = i
+        while (j < len(tiles) and tiles[j][0] == tiles[i][0]
+               and tiles[j][1] == tiles[i][1]):
+            j += 1
+        grp = tiles[i:j]
+        is_multi, S = grp[0][0], grp[0][1]
+        # pad each chunk's tile segment to a multiple of the fold factor:
+        # _fold_buckets groups `fold` consecutive tiles under one shared
+        # window, and a group straddling a chunk boundary would span the
+        # inter-chunk stream jump (K > budget -> the whole bucket skips
+        # folding, resurrecting the ~230 ns/step overhead folding kills).
+        # Pad tiles emit zero-count runs: zero outputs with -1/sentinel
+        # destinations the next level / final reorder drop.
+        fold = next((c for c in (16, 8, 4, 2) if S * c <= 32), 1)
+        est_parts, oc_parts, seg_parts = [], [], []
+        for ti, t in enumerate(grp):
+            est_c, oc_c, seg_c = t[3], t[4], t[6]
+            T_c = len(est_c)
+            # every segment but the last must pad (one short unpadded
+            # segment would misalign every later chunk's groups)
+            if fold > 1 and ti + 1 < len(grp) and T_c % fold:
+                n_pad = fold - T_c % fold
+                est_c = np.concatenate(
+                    [est_c, np.full(n_pad, est_c[-1], est_c.dtype)])
+                oc_c = np.concatenate(
+                    [oc_c, np.zeros((n_pad,) + oc_c.shape[1:],
+                                    oc_c.dtype)])
+                fill = np.int64(-1) if is_multi == 0 else _I32_SENTINEL
+                seg_c = np.concatenate(
+                    [seg_c, np.full(n_pad * R, fill, seg_c.dtype)])
+            est_parts.append(est_c)
+            oc_parts.append(oc_c)
+            seg_parts.append(seg_c)
+        est = np.concatenate(est_parts)
+        oc = np.concatenate(oc_parts).astype(np.int32)
+        K = max(t[5] for t in grp)
+        buckets.append(SumBucket(estart=est, oc=oc, S=S, K=K, T=len(est)))
+        in_rows_glob = max(in_rows_glob, int(est.max()) + K)
+        if is_multi == 0:
+            multi_tiles += len(est)
+            od_parts.extend(seg_parts)
+        else:
+            tk_parts.extend(seg_parts)
+        i = j
+
+    keys = np.concatenate(key_parts + gap_parts) if key_parts else \
+        np.zeros(0, np.int32)
+    in_rows_glob = max(in_rows_glob,
+                       _round_up(max(len(keys), 1), 128) // 128)
+    in_len = sum(seg_len for (_, _, _, seg_len) in parts)
+    multi_len = multi_tiles * R
+    out_len = sum(b.T for b in buckets) * R
+    tkeys = (np.concatenate(tk_parts) if tk_parts
+             else np.zeros(0, np.int32))
+    level = SumLevel(keys=keys, tkeys=tkeys, buckets=buckets,
+                     in_rows=in_rows_glob, out_len=out_len,
+                     multi_len=multi_len, in_len=in_len)
+    out_dest = (np.concatenate(od_parts) if od_parts else None)
+    return level, out_dest, tuple(bases)
+
+
+def _build_chunked_level1(dest: np.ndarray, n_rows: int, cap: int,
+                          chunk_starts):
+    """Per-column-chunk level-1 builds spliced into one global SumLevel.
+
+    Each chunk's entries (a contiguous slice of `dest` — the stream
+    builder orders entries chunk-major) reduce into per-chunk partial
+    sums over their OWN aligned stream region, so the level-1 router only
+    ever moves an entry within its chunk — that is what keeps the product
+    kernel's window span at the chunk's column span instead of the full
+    image (the 10x-scale ks blowup, BENCH_NOTES round 4). Rows touched by
+    a single chunk terminate here; rows spanning chunks forward partials
+    to the merge level."""
+    chunk_starts = [int(s) for s in chunk_starts]
+    C = len(chunk_starts) - 1
+    valid = dest >= 0
+    counts_global = np.bincount(dest[valid], minlength=n_rows)
+    empty_mask = counts_global == 0
+    if not empty_mask.any():
+        empty_mask = None
+
+    touch = np.zeros(n_rows, np.int16)
+    for c in range(C):
+        seg = dest[chunk_starts[c]:chunk_starts[c + 1]]
+        segv = seg[seg >= 0]
+        if len(segv):
+            touch += (np.bincount(segv, minlength=n_rows) > 0)
+    force_multi = touch >= 2
+
+    parts = []
+    for c in range(C):
+        seg = dest[chunk_starts[c]:chunk_starts[c + 1]]
+        emp = empty_mask if c == 0 else None
+        if not (seg >= 0).any() and emp is None:
+            parts.append((None, None, 0, len(seg)))
+            continue
+        level, od, shape = _build_level(
+            seg, n_rows, cap, include_empty_rows=False,
+            force_multi=force_multi, empty_terminal=emp)
+        parts.append((level, od, shape[3], len(seg)))
+    return _splice_chunk_levels(parts)
+
+
+def build_stream_sum(dest: np.ndarray, n_rows: int, cap: int = 128,
+                     chunk_starts=None) -> StreamSumPlan:
     """Build the (possibly multi-level) sum plan for a value stream whose
-    position k carries an addend for row `dest[k]` (-1 = padding)."""
+    position k carries an addend for row `dest[k]` (-1 = padding).
+
+    `chunk_starts` (C+1 cumulative entry boundaries; entries must be
+    chunk-contiguous) builds a column-chunked level 1: per-chunk partial
+    sums in per-chunk stream regions, merged by the standard deeper
+    levels — the wide-column scale path (formats/stream.py)."""
     levels = []
     cur = np.asarray(dest, np.int64)
     first = True
+    chunk_bases = ()
+    if chunk_starts is not None and len(chunk_starts) > 2:
+        level, nxt, chunk_bases = _build_chunked_level1(
+            cur, n_rows, cap, chunk_starts)
+        _fold_buckets(level)
+        levels.append(level)
+        first = False
+        if nxt is None:
+            final = np.concatenate([lv.tkeys for lv in levels])
+            plan = StreamSumPlan(levels=levels, final_keys=final,
+                                 num_rows=n_rows,
+                                 chunk_bases=chunk_bases)
+            _attach_perms(plan)
+            return plan
+        cur = nxt
     while True:
         level, nxt, _ = _build_level(cur, n_rows, cap,
                                      include_empty_rows=first)
@@ -657,7 +854,8 @@ def build_stream_sum(dest: np.ndarray, n_rows: int,
         if nxt is None:
             final = np.concatenate([lv.tkeys for lv in levels])
             plan = StreamSumPlan(levels=levels, final_keys=final,
-                                 num_rows=n_rows)
+                                 num_rows=n_rows,
+                                 chunk_bases=chunk_bases)
             _attach_perms(plan)
             return plan
         cur = nxt

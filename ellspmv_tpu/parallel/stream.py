@@ -59,6 +59,12 @@ class ShardedStream:
     # split diagonal (--separate-diagonal): per-device dense blocks
     diag_args: tuple = ()
     diag_pad: int = 0               # extra x padding for the diag slice
+    # raw per-device triplets for the strict-f64 XLA backend (stacked
+    # (D, E_pad) cols/local rows/values): native-f64 gather + segment-sum
+    # under the same shard_map — the certification path for exact
+    # multi-chip stream numerics (dd Pallas loses its error-free
+    # transforms to XLA rewrites under interpret mode)
+    xla_args: tuple = ()
 
     @property
     def num_rows(self):
@@ -226,6 +232,18 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
         diag_args = (dev(dblocks, 1), dev(dstarts, 1))
         diag_pad = max(diag_pad, 0)
 
+    # raw triplets for the strict-f64 XLA backend
+    xcols = np.zeros((D, E_pad), np.int32)
+    xrows = np.full((D, E_pad), -1, np.int32)
+    xvals = np.zeros((D, E_pad), val_dt)
+    for d in range(D):
+        k = len(per_cols[d])
+        xcols[d, :k] = per_cols[d]
+        xrows[d, :k] = per_rows[d]
+        xvals[d, :k] = per_vals[d]
+    xla_args = (dev(list(xcols), 1), dev(list(xrows), 1),
+                dev(list(xvals), 1))
+
     # uniform sum plans over the padded local row blocks
     dests = []
     for d in range(D):
@@ -248,15 +266,81 @@ def shard_stream(coo: CooMatrix, n_devices: int | None = None,
         unpermute=jnp.asarray(unperm), dd=dd,
         prod_args=prod_args, prod_cfg=prod_cfg,
         sum_leaves=sum_leaves, sum_treedef=treedef,
-        diag_args=diag_args, diag_pad=diag_pad,
+        diag_args=diag_args, diag_pad=diag_pad, xla_args=xla_args,
         nnz_per_device=np.array([len(c) for c in per_cols]))
 
 
-def sharded_stream_spmv_fn(ss: ShardedStream):
-    """Build `fn(ss, x_logical, y_logical|None) -> y_logical`."""
+def sharded_stream_xla_fn(ss: ShardedStream):
+    """Strict-f64 XLA backend over the same mesh/shard_map: per device a
+    native-f64 gather-product + segment-sum over the local row block.
+    Slower than the Pallas pipeline but numerically EXACT per the fp64
+    north star (<= 1e-14 rel, BASELINE.md) on any backend — the
+    certification path for sharded stream numerics in the dryrun."""
+    if not ss.xla_args:
+        raise ValueError("stream built without the XLA fallback triplets")
+    mesh, axis = ss.mesh, ss.mesh.axis_names[0]
+    D = mesh.devices.size
+    dd = ss.dd
+    m = ss.logical_cols
+    val_dt = np.float64 if dd else np.float32
+    has_diag = len(ss.diag_args) > 0
+
+    def local(*args):
+        if has_diag:
+            *op, dvec, dstart, x_blk, y_blk = args
+        else:
+            *op, x_blk, y_blk = args
+            dvec = dstart = None
+        cols, rows, vals = (a[0] for a in op)
+        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)[:m]
+        p = vals * x_full[cols]
+        p = jnp.where(rows >= 0, p, jnp.zeros((), p.dtype))
+        acc = jax.ops.segment_sum(p, jnp.maximum(rows, 0),
+                                  num_segments=ss.block)
+        if has_diag:
+            xd = jax.lax.dynamic_slice(
+                jnp.pad(x_full, (0, ss.diag_pad)),
+                (dstart[0, 0],), (ss.block,))
+            acc = acc + dvec[0].astype(acc.dtype) * xd.astype(acc.dtype)
+        return acc.astype(y_blk.dtype) + y_blk
+
+    all_args = ss.xla_args + ss.diag_args
+    in_specs = tuple(P(axis, *([None] * (np.asarray(a).ndim - 1)))
+                     for a in all_args) + (P(axis), P(axis))
+    mapped = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=P(axis), check_vma=False)
+
+    @jax.jit
+    def fn_physical(x_phys, y_phys, *op):
+        return mapped(*op, x_phys, y_phys)
+
+    def fn(_ss, x, y=None):
+        x = jnp.asarray(x, val_dt)
+        m_pad = ss.x_block * D
+        x_phys = jax.device_put(
+            jnp.pad(x, (0, m_pad - x.shape[0])),
+            NamedSharding(mesh, P(axis)))
+        if y is None:
+            y_phys = jnp.zeros(ss.block * D, val_dt)
+        else:
+            y_phys = jnp.zeros(ss.block * D, val_dt).at[
+                ss.unpermute].set(jnp.asarray(y, val_dt))
+        out = fn_physical(x_phys, y_phys, *all_args)
+        return out[ss.unpermute]
+
+    return fn
+
+
+def sharded_stream_spmv_fn(ss: ShardedStream, backend: str = "pallas"):
+    """Build `fn(ss, x_logical, y_logical|None) -> y_logical`.
+
+    `backend="xla"` returns the strict-f64 certification path
+    (sharded_stream_xla_fn)."""
     from ellspmv_tpu.ops import ell_pallas
     from ellspmv_tpu.ops.stream_sum import apply_stream_sum
 
+    if backend == "xla":
+        return sharded_stream_xla_fn(ss)
     mesh, axis = ss.mesh, ss.mesh.axis_names[0]
     D = mesh.devices.size
     cfg = ss.prod_cfg

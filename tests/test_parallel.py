@@ -177,6 +177,34 @@ def test_sharded_stream_power_law(rng):
     assert np.max(np.abs(got2 - (want + y0))) / scale < 5e-5
 
 
+def test_sharded_stream_xla_backend_strict(rng):
+    """The strict-f64 XLA backend (gather-product + segment-sum under the
+    same shard_map) certifies exact sharded stream numerics at 1e-12 on
+    any backend — including with a split diagonal and a y accumulator."""
+    from ellspmv_tpu.models.generators import power_law
+    from ellspmv_tpu.ops.reference import coo_spmv_numpy
+    from ellspmv_tpu.parallel.stream import (shard_stream,
+                                             sharded_stream_spmv_fn)
+
+    coo = power_law(1800, 6, seed=5)
+    x = rng.rand(coo.num_columns)
+    want = coo_spmv_numpy(coo, x)
+    scale = max(np.max(np.abs(want)), 1.0)
+    ss = shard_stream(coo, 8, value_dtype=np.float64)
+    fn = sharded_stream_spmv_fn(ss, backend="xla")
+    got = np.asarray(fn(ss, x), np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12 * scale)
+    y0 = rng.randn(coo.num_rows)
+    got2 = np.asarray(fn(ss, x, y0), np.float64)
+    np.testing.assert_allclose(got2, want + y0, rtol=1e-12,
+                               atol=1e-12 * scale)
+    ssd = shard_stream(coo, 8, value_dtype=np.float64,
+                       separate_diagonal=True)
+    fnd = sharded_stream_spmv_fn(ssd, backend="xla")
+    gotd = np.asarray(fnd(ssd, x), np.float64)
+    np.testing.assert_allclose(gotd, want, rtol=1e-12, atol=1e-12 * scale)
+
+
 def test_sharded_stream_f32_and_explicit_rows(rng):
     from ellspmv_tpu.models.generators import power_law
     from ellspmv_tpu.ops.reference import coo_spmv_numpy

@@ -129,6 +129,76 @@ def test_stream_dispatch_and_bench(rng):
     assert res.metrics.num_nonzeros == coo.num_nonzeros
 
 
+def test_stream_chunked_matches_oracle(rng, monkeypatch):
+    """Column-chunked level 1 (the wide-column scale path): per-chunk
+    partial sums + merge level reproduce the oracle; single-chunk rows
+    terminate at level 1."""
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "4")
+    coo = random_coo(rng, 600, 900, 6000)
+    sm = _check(coo, np.float64, rng)
+    assert len(sm.ddsum.chunk_bases) == 5        # 4 chunks built
+    assert len(sm.ddsum.levels) >= 2             # merge level exists
+
+
+def test_stream_chunked_sort_path(rng, monkeypatch):
+    """Chunked stream with the runtime-sort fallback: the inter-chunk
+    BLOCK-pad gap fillers must keep rank == position."""
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
+    monkeypatch.setenv("ELLSPMV_TPU_NO_PERMUTE", "1")
+    coo = random_coo(rng, 400, 700, 4000)
+    _check(coo, np.float64, rng)
+
+
+def test_stream_chunked_f32_and_y(rng, monkeypatch):
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "5")
+    coo = random_coo(rng, 300, 800, 3500)
+    _check(coo, np.float32, rng, y=rng.randn(300))
+
+
+def test_stream_chunked_empty_rows_and_hubs(rng, monkeypatch):
+    """Empty rows get their terminal zero from exactly one chunk; hub
+    rows longer than the cap split per chunk and re-merge."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "4")
+    n = 500
+    rows = np.concatenate([np.full(900, 7), np.full(800, 200),
+                           rng.randint(0, n // 2, 2500)]).astype(np.int32)
+    cols = rng.randint(0, n, rows.shape[0]).astype(np.int32)
+    vals = rng.randn(rows.shape[0])
+    coo = CooMatrix(n, n, rows, cols, vals)   # rows >= n//2 mostly empty
+    sm = _check(coo, np.float64, rng)
+    assert len(sm.ddsum.levels) >= 2
+
+
+def test_stream_chunked_exact_small_ints(rng, monkeypatch):
+    """Chunked build is EXACTLY the same sum as unchunked on small-int
+    f32 values (both must equal numpy bincount)."""
+    from ellspmv_tpu.ops.stream_sum import apply_stream_sum, \
+        build_stream_sum
+    n = 300
+    E = 6000
+    dest = rng.randint(0, n, E).astype(np.int64)
+    dest[rng.rand(E) < 0.05] = -1
+    dest[:300] = 11                            # over-cap row
+    E_pad = -(-E // 1024) * 1024
+    dest = np.pad(dest, (0, E_pad - E), constant_values=-1)
+    vals = rng.randint(-8, 9, E_pad).astype(np.float32)
+    want = np.bincount(dest[dest >= 0], weights=vals[dest >= 0],
+                       minlength=n).astype(np.float32)
+    starts = [0, 1500, 2900, 4100, E_pad]      # 4 uneven chunks
+    plan = build_stream_sum(dest, n_rows=n, chunk_starts=starts)
+    assert len(plan.chunk_bases) == 5
+    got = np.asarray(apply_stream_sum(plan, np.asarray(vals),
+                                      interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # sort fallback over the same chunked plan
+    monkeypatch.setenv("ELLSPMV_TPU_NO_PERMUTE", "1")
+    plan2 = build_stream_sum(dest, n_rows=n, chunk_starts=starts)
+    got2 = np.asarray(apply_stream_sum(plan2, np.asarray(vals),
+                                       interpret=True))
+    np.testing.assert_array_equal(got2, want)
+
+
 def test_stream_sum_key_space_guard():
     """The virtual slot key space is int32; an impossible size must raise
     rather than wrap (the IDXTYPEWIDTH-analogue guard for this format)."""
@@ -168,15 +238,20 @@ def test_auto_format_chooser(rng):
 
 
 def test_stream_price_scales_with_column_span():
-    """The routed-stream price must rise with the predicted product-scan
-    span (ks_mean exploded 6.4 -> 35.9 at a 10M-column / 65M-nnz probe,
-    BENCH_NOTES round 4): a chooser pricing streams at the 1M-column
-    rate would pick a stream it cannot route at that rate."""
+    """The routed-stream price must reflect wide-column instances: with
+    column chunking the product span stays at its floor, but chunked
+    instances pay the merge-level surcharge — a 10M-column / 65M-nnz
+    instance prices moderately above the 1M-column rate, NOT the 3.7x
+    the unchunked ks blowup once cost (BENCH_NOTES rounds 4-5)."""
     from ellspmv_tpu.formats.auto import _stream_price
     nnz = 65_000_000
     at_1m = _stream_price(nnz, 1_000_000)
     at_10m = _stream_price(nnz, 10_000_000)
-    assert at_10m > 1.5 * at_1m
+    assert 1.05 * at_1m < at_10m < 2.0 * at_1m
+    # ...and sparse wide instances (density below the chunkable floor)
+    # still price the span blowup that no chunking can remove
+    sparse_wide = _stream_price(2_000_000, 10_000_000)
+    assert sparse_wide > 1.5 * _stream_price(2_000_000, 1_000_000)
     # below the measured span floor the correction is a no-op
     assert _stream_price(7_000_000, 1_000_000) == pytest.approx(
         _stream_price(7_000_000, 700_000), rel=0.2)
