@@ -101,6 +101,18 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
     dd = val_dt == np.dtype(np.float64)
 
+    import time as _time
+    _tlast = [_time.perf_counter()]
+
+    def _tr(stage):
+        # stage trace for the in-context conversion budget (VERDICT r4
+        # item 3); prints only under ELLSPMV_TPU_CONVERT_TRACE
+        if os.environ.get("ELLSPMV_TPU_CONVERT_TRACE"):
+            now = _time.perf_counter()
+            print(f"  [convert] {stage}: {now - _tlast[0]:.2f}s",
+                  flush=True)
+            _tlast[0] = now
+
     from ellspmv_tpu.io import native as _native
     order = _native.argsort(coo.colidx)
     cols = coo.colidx[order].astype(np.int32, copy=False)
@@ -134,6 +146,7 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     forced_chunks = os.environ.get("ELLSPMV_TPU_STREAM_CHUNKS")
     if forced_chunks:            # tests / hardware sweeps
         n_chunks = max(1, min(int(forced_chunks), max(m, 1)))
+    _tr("column sort")
     if n_chunks > 1:
         width = -(-m // n_chunks)
         edges = np.arange(1, n_chunks, dtype=np.int64) * width
@@ -144,6 +157,19 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     else:
         chunk_starts = None
         ddsum = build_stream_sum(dest, n_rows=n, cap=cap)
+    _tr("sum plan build")
+
+    # start device transfers for the finalized plan pieces NOW:
+    # jnp.asarray dispatch is async, so the deeper levels and the final
+    # reorder stream to the device WHILE the host builds the level-1
+    # router below (staging serialized after the whole build cost seconds
+    # of the in-context conversion budget, VERDICT r4 item 3)
+    _put = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    ddsum.levels[1:] = [_put(lv) for lv in ddsum.levels[1:]]
+    ddsum.final_keys = jnp.asarray(ddsum.final_keys)
+    if ddsum.final_perm is not None:
+        ddsum.final_perm = _put(ddsum.final_perm)
+    _tr("deep-level staging dispatch")
 
     # replace the level-1 runtime key sort with a statically planned
     # routing (ops/permute.py): every entry's sorted position (= rank of
@@ -224,6 +250,7 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         cols2 = np.where(last >= 0, cols2[np.maximum(last, 0)], first_col)
         target2 = np.full(prod_len2, -1, np.int64)
         target2[pos2] = target[:nnz][pre]
+        _tr("mega reorder + group pad")
         try:
             lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128,
                                       validate=False)
@@ -239,7 +266,10 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             # size the kernel's stream view to the router's padded output
             # so the apply-side slice/pad copies disappear
             lvl1.in_rows = max(lvl1.in_rows, lvl1.perm.n_out // 128)
-    ddsum = ddsum.device_put()
+        _tr("level-1 router build")
+    ddsum.levels[0] = jax.tree_util.tree_map(jnp.asarray, ddsum.levels[0])
+    ddsum = ddsum.device_put()     # no-op on already-staged leaves
+    _tr("level-1 staging dispatch")
 
     # rowsize-1 ELL over the (possibly re-ordered, group-padded) entries:
     # the product kernel
@@ -257,10 +287,12 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     plan = plan_mod.best_plan(
         prod_ell, value_dtype=np.float64 if dd else np.float32,
         **({"row_tiles": (int(prod_rt),)} if prod_rt else {}))
+    _tr("product plan build")
     if plan is not None:
         dp = ell_pallas.DevicePlan(prod_ell, plan, dd)
         assert plan.n_pad == prod_len
         prod_cols = prod_vals = None
+        _tr("product staging dispatch")
     else:
         dp = None
         prod_cols = jnp.asarray(np.pad(cols, (0, prod_len - k)))
@@ -272,6 +304,16 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         d = np.zeros(n, val_dt)
         d[:len(diag)] = diag.astype(val_dt)
         diag = jnp.asarray(d)
+
+    if os.environ.get("ELLSPMV_TPU_CONVERT_TRACE"):
+        # trace-only transfer fence: 1-element device->host fetch per
+        # staged leaf (block_until_ready may return early through the
+        # tunnel, CLAUDE.md) — measures when the async staging actually
+        # lands, WITHOUT perturbing untraced conversions
+        for leaf in jax.tree_util.tree_leaves((ddsum, dp)):
+            if isinstance(leaf, jax.Array) and leaf.size:
+                np.asarray(leaf.reshape(-1)[:1])
+        _tr("staging transfer fence (trace only)")
 
     return StreamMatrix(prod=dp, prod_cols=prod_cols, prod_vals=prod_vals,
                         ddsum=ddsum, diag=diag,
