@@ -60,6 +60,39 @@ def _make(op_name: str, N: int, T: int):
                 j = k % 4
                 accs[j] = accs[j] + _lane_gather(
                     x_ref[8 * (k % 8):8 * (k % 8) + 8], lane)
+        elif op_name == "gather16":
+            # the dd-gather-halving probe (VERDICT r4 item 5): ONE lane
+            # gather on a (16,128) operand (x hi rows stacked over lo
+            # rows) vs the kernel's TWO (8,128) gathers per scan step. If
+            # ns/op stays near the (8,128) rate the fusion halves the
+            # gather count; if it doubles, Mosaic is issuing two native
+            # ops anyway and the 63-67% ELL ceiling stands.
+            lane16 = jnp.concatenate([lane0, lane0], axis=0)
+            acc16 = [jnp.concatenate([accs[0], accs[1]], 0),
+                     jnp.concatenate([accs[2], accs[3]], 0)]
+            for k in range(N):
+                lane = jax.lax.bitwise_and(lane16 + jnp.int32(k),
+                                           jnp.int32(127))
+                j = k % 2
+                acc16[j] = acc16[j] + _lane_gather(
+                    x_ref[16 * (k % 4):16 * (k % 4) + 16], lane)
+            accs = [acc16[0][0:8], acc16[0][8:16],
+                    acc16[1][0:8], acc16[1][8:16]]
+        elif op_name == "select16":
+            # the cascade cost at the fused height (prices the full
+            # fusion, not just the gather stage)
+            lane16 = jnp.concatenate([lane0, lane0], axis=0)
+            m0 = lane16 < jnp.int32(64)
+            m1 = lane16 >= jnp.int32(32)
+            acc16 = [jnp.concatenate([accs[0], accs[1]], 0),
+                     jnp.concatenate([accs[2], accs[3]], 0)]
+            for k in range(N):
+                j = k % 2
+                acc16[j] = jnp.where(
+                    m0 if k % 2 else m1,
+                    x_ref[16 * (k % 4):16 * (k % 4) + 16], acc16[j])
+            accs = [acc16[0][0:8], acc16[0][8:16],
+                    acc16[1][0:8], acc16[1][8:16]]
         elif op_name == "slice_add":
             for k in range(N):
                 j = k % 4
@@ -113,6 +146,7 @@ def run(x, lanes, op_name, N, T):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=bool(os.environ.get("MB_INTERPRET")),
     )(x, lanes)
 
 
@@ -149,9 +183,12 @@ def main():
           f"({jax.devices()[0].device_kind}), T={args.t}", flush=True)
     for op in args.ops.split(","):
         ns = measure(op, args.t) * 1e9
-        shape = "(128,128)" if "transpose" in op else "(8,128)"
+        shape = ("(128,128)" if "transpose" in op
+                 else "(16,128)" if "16" in op else "(8,128)")
+        elems = (16384 if "transpose" in op
+                 else 2048 if "16" in op else 1024)
         print(f"{op:14s} {ns:8.2f} ns/op on {shape} "
-              f"({ns / (1024 if 'transpose' not in op else 16384) * 1000:7.3f} ps/elem)",
+              f"({ns / elems * 1000:7.3f} ps/elem)",
               flush=True)
 
 
