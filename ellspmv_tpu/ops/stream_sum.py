@@ -1018,6 +1018,15 @@ def apply_stream_sum(plan: StreamSumPlan, vh, vl=None, interpret=False):
             vl = ol[:lv.multi_len]
     n = plan.num_rows
     vh = jnp.concatenate(parts_h)
+    import os as _os
+    if _os.environ.get("ELLSPMV_TPU_SKIP_FINAL"):
+        # measurement ablation (WRONG results: y stays in terminal-output
+        # order): drops the final natural-order route so the pipeline
+        # delta vs the full run bounds the final-route fusion lever
+        # (VERDICT r4 item 4 / BENCH_NOTES round-4 continuity list)
+        if dd:
+            return vh[:n], jnp.concatenate(parts_l)[:n]
+        return vh[:n]
     if dd:
         vl = jnp.concatenate(parts_l)
         if plan.final_perm is not None:
