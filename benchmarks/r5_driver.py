@@ -84,6 +84,26 @@ def main():
     if "stream10x" in which:
         stage("stream10x-chunked", [py, bs, "--n", "10000000"],
               timeout=5400, retries=1)
+    if "microbench" in which:
+        stage("microbench-gather16",
+              [py, "benchmarks/microbench_ops.py",
+               "--ops", "gather,gather16,select16,select,dd_fma"],
+              timeout=2400)
+    if "ablate-final" in which:
+        stage("config3-skip-final", [py, bs, "--n", "1000000",
+                                     "--no-oracle"],
+              env={"ELLSPMV_TPU_SKIP_FINAL": "1"}, timeout=2400)
+    if "convtrace" in which:
+        stage("config3-convert-trace", [py, bs, "--n", "1000000",
+                                        "--repeat", "1", "--no-oracle"],
+              env={"ELLSPMV_TPU_CONVERT_TRACE": "1"}, timeout=2400)
+    if "refscale" in which:
+        stage("reference-scale-114M",
+              [py, "benchmarks/reference_scale.py"], timeout=7200,
+              retries=1)
+    if "denserows" in which:
+        stage("dense-rows-compare",
+              [py, "benchmarks/dense_rows_compare.py"], timeout=3600)
     log("driver done")
 
 

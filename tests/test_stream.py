@@ -170,6 +170,41 @@ def test_stream_chunked_empty_rows_and_hubs(rng, monkeypatch):
     assert len(sm.ddsum.levels) >= 2
 
 
+def test_stream_chunked_sepdiag_symmetric(rng, monkeypatch):
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
+    coo = random_coo(rng, 350, 350, 2200)
+    _check(coo, np.float64, rng, sep_diag=True)
+    sym = random_coo(rng, 280, 280, 1300, symmetric=True)
+    _check(sym, np.float64, rng)
+
+
+def test_stream_chunk_count_rule():
+    """Auto chunk count: span-bounded, capped by the mega-group density
+    floor, forced by the env knob."""
+    import os
+    from unittest import mock
+
+    from ellspmv_tpu.formats.stream import stream_from_coo
+    from ellspmv_tpu.formats.coo import CooMatrix
+
+    # tiny matrix, huge forced span -> single chunk regardless
+    rows = np.arange(64, dtype=np.int32)
+    cols = np.arange(64, dtype=np.int32)
+    coo = CooMatrix(64, 64, rows, cols, np.ones(64))
+    sm = stream_from_coo(coo, value_dtype=np.float64)
+    assert len(sm.ddsum.chunk_bases) == 0        # unchunked
+    with mock.patch.dict(os.environ,
+                         {"ELLSPMV_TPU_STREAM_CHUNKS": "2"}):
+        sm2 = stream_from_coo(coo, value_dtype=np.float64)
+    assert len(sm2.ddsum.chunk_bases) == 3       # forced 2 chunks
+    x = np.linspace(0, 1, 64)
+    np.testing.assert_allclose(
+        np.asarray(__import__("ellspmv_tpu.formats.stream",
+                              fromlist=["stream_spmv"]).stream_spmv(
+            sm2, x), np.float64),
+        x, rtol=1e-12)
+
+
 def test_stream_chunked_exact_small_ints(rng, monkeypatch):
     """Chunked build is EXACTLY the same sum as unchunked on small-int
     f32 values (both must equal numpy bincount)."""
