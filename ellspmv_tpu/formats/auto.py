@@ -60,7 +60,7 @@ def _stream_price(nnz: int, ncols: int | None = None) -> float:
     if ncols and rate_name == "stream_routed_ns_per_nnz" and nnz > 0:
         BLOCK = 128 * 128
         span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN",
-                                      "1500000"))
+                                      "262144"))
         n_chunks = max(1, -(-ncols // span_max))
         n_chunks = min(n_chunks, max(1, nnz // (128 * BLOCK)))
         span_c = -(-ncols // n_chunks)

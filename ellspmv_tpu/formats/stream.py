@@ -138,7 +138,12 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     # chunk while mega groups stay full (~128*BLOCK entries targeting the
     # chunk's own stream region), so ks returns to its 1M-column floor at
     # any scale; the standard deeper sum levels merge the partials.
-    span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "1500000"))
+    # default span 2^18 columns: small enough that the density cap below
+    # almost always binds — hardware measured the one-mega-group-per-chunk
+    # regime (ng=1, ks at its 8*ncols/nnz floor, KS=8 so every slot runs
+    # exactly one U=8 scan chunk, K128 windows 4x smaller) FASTER than
+    # wider chunks even at 1M columns (2.948 vs 3.108 ms, r5_hw_log)
+    span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "262144"))
     n_chunks = max(1, -(-m // span_max))
     # chunks sparser than ~one full mega group cannot reach the density
     # floor anyway (density <= nnz/ncols regardless of chunking)
