@@ -204,6 +204,40 @@ def run_suite(quick: bool = False, as_json: bool = False,
            note=f"hub {100 * hyb.hub_nnz_fraction:.0f}% (windowed-scan "
                 "comparison)")
 
+    # --- config3 at 10x scale (VERDICT r4 item 1): column-chunked streams
+    # must keep the per-nnz rate within ~30% of the 1M-config floor
+    # instead of degrading with ncols (BASELINE.md names 100M+ rows as
+    # the scale axis; the reference's CPU gathers are scale-flat,
+    # csrspmv.c:1590-1592)
+    if not quick:
+        n10 = 10_000_000
+        coo10 = power_law(n10, 7, seed=0)
+        x10 = np.random.RandomState(4).rand(n10)
+        t0 = time.perf_counter()
+        strm10 = stream_from_coo(coo10, value_dtype=np.float64)
+        t_conv10 = time.perf_counter() - t0
+        nch = max(len(strm10.ddsum.chunk_bases) - 1, 1)
+        stream.write(f"{'config3-10x stream_from_coo':34s} "
+                     f"{t_conv10:9.3f} s host plan build "
+                     f"({coo10.num_nonzeros:,} nnz, {nch} column "
+                     "chunks)\n")
+        results.append({"config": "config3-10x stream_from_coo",
+                        "convert_s": t_conv10,
+                        "nnz": int(coo10.num_nonzeros),
+                        "column_chunks": nch})
+        record("config3-10x power-law stream f64", _bench(strm10, x10, 2),
+               note=f"{nch} column chunks, "
+                    f"{len(strm10.ddsum.levels)} sum levels")
+        got10 = np.asarray(stream_spmv(strm10, x10), np.float64)
+        want10 = coo_spmv_numpy(coo10, x10)
+        err10 = (np.max(np.abs(got10 - want10))
+                 / max(np.max(np.abs(want10)), 1e-300))
+        stream.write(f"{'config3-10x stream oracle':34s} normwise err "
+                     f"{err10:.2e}\n")
+        results.append({"config": "config3-10x stream oracle",
+                        "normwise_err": float(err10)})
+        del strm10, coo10, got10, want10
+
     # --- dense-rows class: few long random rows over a local bulk --------
     # (constraint/boundary rows — VERDICT r2 item 8). auto must pick the
     # measured-fastest: the routed stream (6.80 ms vs SELL split 30.6 ms
