@@ -104,6 +104,14 @@ def main():
     if "denserows" in which:
         stage("dense-rows-compare",
               [py, "benchmarks/dense_rows_compare.py"], timeout=3600)
+    if "stages10x" in which:
+        stage("stream10x-stages", [py, bs, "--n", "10000000",
+                                   "--no-oracle", "--stages"],
+              timeout=5400, retries=1)
+    if "stages1m" in which:
+        stage("stream1m-stages", [py, bs, "--n", "1000000",
+                                  "--no-oracle", "--stages"],
+              timeout=2400)
     log("driver done")
 
 
