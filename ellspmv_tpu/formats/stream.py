@@ -146,8 +146,10 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "262144"))
     n_chunks = max(1, -(-m // span_max))
     # chunks sparser than ~one full mega group cannot reach the density
-    # floor anyway (density <= nnz/ncols regardless of chunking)
-    n_chunks = min(n_chunks, max(1, nnz // (128 * BLOCK)))
+    # floor anyway (density <= nnz/ncols regardless of chunking); ceil —
+    # the forced-C=4 1M run (nnz_c 0.75x a full mega group) measured
+    # fastest (2.948 ms, r5_hw_log)
+    n_chunks = min(n_chunks, max(1, -(-nnz // (128 * BLOCK))))
     forced_chunks = os.environ.get("ELLSPMV_TPU_STREAM_CHUNKS")
     if forced_chunks:            # tests / hardware sweeps
         n_chunks = max(1, min(int(forced_chunks), max(m, 1)))
@@ -311,13 +313,16 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         diag = jnp.asarray(d)
 
     if os.environ.get("ELLSPMV_TPU_CONVERT_TRACE"):
-        # trace-only transfer fence: 1-element device->host fetch per
-        # staged leaf (block_until_ready may return early through the
-        # tunnel, CLAUDE.md) — measures when the async staging actually
-        # lands, WITHOUT perturbing untraced conversions
+        # trace-only transfer fence. NOT the 1-element-fetch pattern: a
+        # per-leaf `reshape[:1]` fetch compiles a tiny remote program per
+        # distinct leaf shape, and ~100 leaves through the degraded
+        # remote compile service measured 194 s of pure compile wall
+        # (r5_hw_log config3-convert-trace) — block_until_ready's
+        # early-return caveat applies to kernel execution, not H2D
+        # transfer completion, so it is the right fence here
         for leaf in jax.tree_util.tree_leaves((ddsum, dp)):
-            if isinstance(leaf, jax.Array) and leaf.size:
-                np.asarray(leaf.reshape(-1)[:1])
+            if isinstance(leaf, jax.Array):
+                leaf.block_until_ready()
         _tr("staging transfer fence (trace only)")
 
     return StreamMatrix(prod=dp, prod_cols=prod_cols, prod_vals=prod_vals,
