@@ -95,7 +95,7 @@ def main():
         xl = jnp.asarray(x - np.asarray(xh, np.float64), jnp.float32)
         perm = strm.ddsum.levels[0].perm
 
-        def time_stage(name, step):
+        def time_stage(name, step, op=None):
             import jax
 
             def make(iters):
@@ -109,7 +109,8 @@ def main():
             # jitter must not be able to zero the reading (min over
             # short-span slopes once printed a bogus 0.000 ms)
             lo, hi = make(2), make(34)
-            op = strm.prod
+            if op is None:
+                op = strm.prod
             _sync(lo(op, xh, xl)); _sync(hi(op, xh, xl))
             slopes = []
             for _ in range(3):
@@ -155,11 +156,17 @@ def main():
             time_stage("products+w1+take", prod_w1_take)
 
             def prod_route(op, a, b):
-                ph, plo = op.apply_pair(a, b)
-                rh, rl = apply_permute(perm, ph.reshape(-1),
+                # the perm rides inside `op` as jit ARGUMENTS — closing
+                # over it embedded the router maps as HLO constants,
+                # whose serialized program blew the remote-compile
+                # request limit at 10x scale (HTTP 413, r5_hw_log)
+                prod, pm = op
+                ph, plo = prod.apply_pair(a, b)
+                rh, rl = apply_permute(pm, ph.reshape(-1),
                                        plo.reshape(-1))
                 return (rh[:a.shape[0]] * 1e-6, rl[:a.shape[0]] * 1e-6)
-            time_stage("products+route", prod_route)
+            time_stage("products+route", prod_route,
+                       op=(strm.prod, perm))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,9 @@ def main():
         stage("stream1m-stages", [py, bs, "--n", "1000000",
                                   "--no-oracle", "--stages"],
               timeout=2400)
+    if "take" in which:
+        stage("microbench-take", [py, "benchmarks/microbench_take.py"],
+              timeout=2400)
     log("driver done")
 
 
