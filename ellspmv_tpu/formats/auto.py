@@ -62,7 +62,7 @@ def _stream_price(nnz: int, ncols: int | None = None) -> float:
         span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN",
                                       "262144"))
         n_chunks = max(1, -(-ncols // span_max))
-        n_chunks = min(n_chunks, max(1, -(-nnz // (128 * BLOCK))))
+        n_chunks = min(n_chunks, max(1, -(-nnz // (32 * BLOCK))))
         span_c = -(-ncols // n_chunks)
         nnz_c = max(nnz // n_chunks, 1)
         n_blocks = -(-nnz_c // BLOCK)

@@ -121,7 +121,8 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
 
     # unified padded product length — a multiple of the permute BLOCK so
     # the product plan, the static router and the sum level agree
-    from ellspmv_tpu.ops.permute import BLOCK, build_permute
+    from ellspmv_tpu.ops.permute import (BLOCK, build_permute,
+                                         build_permute_cells, cells_bpg)
     from ellspmv_tpu.ops.stream_sum import _I32_SENTINEL
     prod_len = max(_round_up(nnz, BLOCK), BLOCK)
     dest = np.full(prod_len, -1, np.int64)
@@ -138,29 +139,38 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     # chunk while mega groups stay full (~128*BLOCK entries targeting the
     # chunk's own stream region), so ks returns to its 1M-column floor at
     # any scale; the standard deeper sum levels merge the partials.
-    # default span 2^18 columns: small enough that the density cap below
-    # almost always binds — hardware measured the one-mega-group-per-chunk
-    # regime (ng=1, ks at its 8*ncols/nnz floor, KS=8 so every slot runs
-    # exactly one U=8 scan chunk, K128 windows 4x smaller) FASTER than
-    # wider chunks even at 1M columns (2.948 vs 3.108 ms, r5_hw_log)
-    span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "262144"))
+    # default span 196608 columns: narrow chunks keep the per-group
+    # column density at the ks ~6 floor for the 16-block cells groups
+    # (ks ~ span_chunk/32768) AND shrink the product windows (KS<=8,
+    # K128 4x smaller — hardware measured narrow chunking FASTER even at
+    # 1M columns: 2.948 vs 3.108 ms, r5_hw_log)
+    span_max = int(os.environ.get("ELLSPMV_TPU_STREAM_SPAN", "196608"))
     n_chunks = max(1, -(-m // span_max))
-    # chunks sparser than ~one full mega group cannot reach the density
-    # floor anyway (density <= nnz/ncols regardless of chunking); ceil —
-    # the forced-C=4 1M run (nnz_c 0.75x a full mega group) measured
-    # fastest (2.948 ms, r5_hw_log)
-    n_chunks = min(n_chunks, max(1, -(-nnz // (128 * BLOCK))))
+    # chunks sparser than ~two cells groups lose per-group density
+    # (density <= nnz/ncols regardless of chunking — the un-chunkable
+    # sparse-wide floor)
+    n_chunks = min(n_chunks, max(1, -(-nnz // (32 * BLOCK))))
     forced_chunks = os.environ.get("ELLSPMV_TPU_STREAM_CHUNKS")
     if forced_chunks:            # tests / hardware sweeps
         n_chunks = max(1, min(int(forced_chunks), max(m, 1)))
     _tr("column sort")
+    # uniform-cell router gate: below this nnz the route's mid array
+    # sits within VMEM reach and the take stage runs at multi-TB/s, so
+    # the cells layout's full-group padding is pure overhead; above it
+    # the take cliffs to a flat 84 GB/s (8x sublane read amplification,
+    # microbench_take.py) and the cells route wins big
+    cells_min = int(os.environ.get("ELLSPMV_TPU_CELLS_MIN", "16000000"))
+    use_cells = n_chunks > 1 and nnz >= cells_min and not \
+        os.environ.get("ELLSPMV_TPU_NO_CELLS")
     if n_chunks > 1:
+        from ellspmv_tpu.ops.permute import cells_bpg as _cbpg
         width = -(-m // n_chunks)
         edges = np.arange(1, n_chunks, dtype=np.int64) * width
         cs = np.searchsorted(cols, edges).astype(np.int64)
         chunk_starts = np.concatenate([[0], cs, [prod_len]])
-        ddsum = build_stream_sum(dest, n_rows=n, cap=cap,
-                                 chunk_starts=chunk_starts)
+        ddsum = build_stream_sum(
+            dest, n_rows=n, cap=cap, chunk_starts=chunk_starts,
+            region_align=BLOCK * _cbpg() if use_cells else 0)
     else:
         chunk_starts = None
         ddsum = build_stream_sum(dest, n_rows=n, cap=cap)
@@ -192,79 +202,55 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         keys = keys_full[:prod_len]
         target = np.where(keys == _I32_SENTINEL, np.int64(-1),
                           keys.astype(np.int64))
-        # megablock = up to 128 destination blocks (the router's W1
-        # half-block budget); smaller override for test coverage.
-        # BALANCED partition of the dest-block space: a fixed-size cut
-        # leaves a tiny tail group whose few entries span every column,
-        # and that one group's product tiles sink the whole windowed plan
-        # to the resident-x scan (measured: ks_mean 9.4 static vs 6
-        # moving).
-        mega_elems = int(os.environ.get("ELLSPMV_TPU_STREAM_MEGA",
-                                        BLOCK * 128))
-        blocks_per_group = max(mega_elems // BLOCK, 1)
-        if chunk_starts is not None:
-            # per-chunk balanced mega partition over the chunk's OWN
-            # stream region (group ids globally unique so the group-pad
-            # pass below never merges groups across chunks)
-            bases = ddsum.chunk_bases
-            mega = np.empty(nnz, np.int64)
-            gbase = 0
-            for c in range(n_chunks):
-                s = int(chunk_starts[c])
-                e = min(int(chunk_starts[c + 1]), nnz)
-                nbo_c = max((bases[c + 1] - bases[c]) // BLOCK, 1)
-                ng = max(-(-nbo_c // blocks_per_group), 1)
-                bpg_c = -(-nbo_c // ng)
-                if e > s:
-                    mega[s:e] = (gbase + ((target[s:e] - bases[c])
-                                          // BLOCK) // bpg_c)
-                gbase += ng
-        else:
-            nbo = max(-(-(lvl1.in_rows * 128) // BLOCK), 1)
-            n_groups = max(-(-nbo // blocks_per_group), 1)
-            bpg = -(-nbo // n_groups)
-            mega = (target[:nnz] // BLOCK) // bpg
-        # single radix pass on the compact combined key (mega * m + col
-        # keeps the active bits low so the native byte-radix skips most
-        # passes); a 2-key lexsort costs two full argsort passes at nnz
-        # scale
-        pre = _native.argsort(mega.astype(np.uint64) * np.uint64(m)
-                              + cols.astype(np.uint64))
-        mega_s = mega[pre]
-        # pad every megablock group to a BLOCK multiple: product-plan
-        # tiles then never straddle a group boundary (a straddling tile's
-        # column window would span the whole image and sink the plan)
-        starts = np.concatenate(
-            [[0], np.flatnonzero(mega_s[1:] != mega_s[:-1]) + 1, [nnz]])
-        sizes = np.diff(starts)
-        padded = np.maximum(-(-sizes // BLOCK) * BLOCK, BLOCK)
-        offs = np.concatenate([[0], np.cumsum(padded)])[:-1]
-        grp_of = np.repeat(np.arange(len(sizes)), sizes)
-        within = np.arange(nnz) - starts[:-1][grp_of]
-        pos2 = offs[grp_of] + within
-        prod_len2 = int(padded.sum())
-        cols2 = np.zeros(prod_len2, np.int32)
-        vals2 = np.zeros(prod_len2, val_dt)
-        cols2[pos2] = cols[pre]
-        vals2[pos2] = vals[pre]
-        # pad slots inherit the nearest preceding real column so windows
-        # stay tight (value 0 makes them inert)
-        filled = np.zeros(prod_len2, bool)
-        filled[pos2] = True
-        last = np.maximum.accumulate(
-            np.where(filled, np.arange(prod_len2), -1))
-        first_col = cols[pre][0] if nnz else np.int32(0)
-        cols2 = np.where(last >= 0, cols2[np.maximum(last, 0)], first_col)
-        target2 = np.full(prod_len2, -1, np.int64)
-        target2[pos2] = target[:nnz][pre]
-        _tr("mega reorder + group pad")
-        try:
-            lvl1.perm = build_permute(target2, n_out=lvl1.in_rows * 128,
-                                      validate=False)
-        except ValueError:
-            pass     # router budget exceeded: keep the sort path
-        else:
-            cols, vals = cols2.astype(np.int32), vals2
+
+        def _reorder(mega, full_cap=None, ngr=None):
+            """Reorder entries by (mega, col) and pad each group — to a
+            BLOCK multiple (general route), or to a FULL `full_cap`
+            slots enumerating all `ngr` groups (uniform-cell route:
+            group k's input slots [k*cap, (k+1)*cap) must align with
+            its dest blocks). One radix pass on the compact combined
+            key; pad slots inherit the nearest preceding real column so
+            windows stay tight (value 0 makes them inert)."""
+            pre = _native.argsort(mega.astype(np.uint64) * np.uint64(m)
+                                  + cols.astype(np.uint64))
+            mega_s = mega[pre]
+            if full_cap is None:
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(mega_s[1:] != mega_s[:-1]) + 1,
+                     [nnz]])
+                sizes = np.diff(starts)
+                padded = np.maximum(-(-sizes // BLOCK) * BLOCK, BLOCK)
+                offs = np.concatenate([[0], np.cumsum(padded)])[:-1]
+                grp_of = np.repeat(np.arange(len(sizes)), sizes)
+                within = np.arange(nnz) - starts[:-1][grp_of]
+                pos2 = offs[grp_of] + within
+                prod_len2 = int(padded.sum())
+            else:
+                sizes = np.bincount(mega_s, minlength=ngr)
+                assert int(sizes.max(initial=0)) <= full_cap
+                starts_g = np.concatenate([[0], np.cumsum(sizes)])
+                within = np.arange(nnz) - starts_g[mega_s]
+                pos2 = mega_s * np.int64(full_cap) + within
+                prod_len2 = int(ngr) * full_cap
+            cols2 = np.zeros(prod_len2, np.int32)
+            vals2 = np.zeros(prod_len2, val_dt)
+            cols2[pos2] = cols[pre]
+            vals2[pos2] = vals[pre]
+            filled = np.zeros(prod_len2, bool)
+            filled[pos2] = True
+            last = np.maximum.accumulate(
+                np.where(filled, np.arange(prod_len2), -1))
+            first_col = cols[pre][0] if nnz else np.int32(0)
+            cols2 = np.where(last >= 0, cols2[np.maximum(last, 0)],
+                             first_col).astype(np.int32)
+            target2 = np.full(prod_len2, -1, np.int64)
+            target2[pos2] = target[:nnz][pre]
+            return cols2, vals2, target2, prod_len2
+
+        def _commit(perm, cols2, vals2, prod_len2):
+            nonlocal cols, vals, prod_len
+            lvl1.perm = perm
+            cols, vals = cols2, vals2
             prod_len = prod_len2
             # the router owns the reorder; the sort keys are dead weight
             # (28 MB of device transfer at config3 scale)
@@ -273,7 +259,81 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             # size the kernel's stream view to the router's padded output
             # so the apply-side slice/pad copies disappear
             lvl1.in_rows = max(lvl1.in_rows, lvl1.perm.n_out // 128)
-        _tr("level-1 router build")
+
+        done = False
+        if use_cells:
+            # UNIFORM-CELL route first (ops/permute.py cells mode):
+            # fixed-width groups of `bpg` dest blocks with full-capacity
+            # input padding, so group k's input blocks align with its
+            # dest blocks and W1 writes the mid dest-major directly —
+            # no take stage (the HBM row gather measured a flat 84 GB/s
+            # past VMEM size, microbench_take.py)
+            bases = ddsum.chunk_bases
+            bpgc = cells_bpg()
+            mega = np.empty(nnz, np.int64)
+            gbase = 0
+            for c in range(n_chunks):
+                s = int(chunk_starts[c])
+                e = min(int(chunk_starts[c + 1]), nnz)
+                nbo_c = (bases[c + 1] - bases[c]) // BLOCK
+                if e > s:
+                    mega[s:e] = (gbase + ((target[s:e] - bases[c])
+                                          // BLOCK) // bpgc)
+                gbase += nbo_c // bpgc
+            cols2, vals2, target2, prod_len2 = _reorder(
+                mega, full_cap=bpgc * BLOCK, ngr=gbase)
+            _tr("cells reorder + full-group pad")
+            try:
+                perm = build_permute_cells(target2, bpgc)
+            except ValueError:
+                pass            # cell overflow: general route below
+            else:
+                _commit(perm, cols2, vals2, prod_len2)
+                done = True
+            _tr("level-1 cells router build")
+        if not done:
+            # megablock = up to 128 destination blocks (the router's W1
+            # half-block budget); smaller override for test coverage.
+            # BALANCED partition of the dest-block space: a fixed-size
+            # cut leaves a tiny tail group whose few entries span every
+            # column, and that one group's product tiles sink the whole
+            # windowed plan to the resident-x scan (measured: ks_mean
+            # 9.4 static vs 6 moving).
+            mega_elems = int(os.environ.get("ELLSPMV_TPU_STREAM_MEGA",
+                                            BLOCK * 128))
+            blocks_per_group = max(mega_elems // BLOCK, 1)
+            if chunk_starts is not None:
+                # per-chunk balanced mega partition over the chunk's OWN
+                # stream region (group ids globally unique so the
+                # group-pad pass never merges groups across chunks)
+                bases = ddsum.chunk_bases
+                mega = np.empty(nnz, np.int64)
+                gbase = 0
+                for c in range(n_chunks):
+                    s = int(chunk_starts[c])
+                    e = min(int(chunk_starts[c + 1]), nnz)
+                    nbo_c = max((bases[c + 1] - bases[c]) // BLOCK, 1)
+                    ng = max(-(-nbo_c // blocks_per_group), 1)
+                    bpg_c = -(-nbo_c // ng)
+                    if e > s:
+                        mega[s:e] = (gbase + ((target[s:e] - bases[c])
+                                              // BLOCK) // bpg_c)
+                    gbase += ng
+            else:
+                nbo = max(-(-(lvl1.in_rows * 128) // BLOCK), 1)
+                n_groups = max(-(-nbo // blocks_per_group), 1)
+                bpg = -(-nbo // n_groups)
+                mega = (target[:nnz] // BLOCK) // bpg
+            cols2, vals2, target2, prod_len2 = _reorder(mega)
+            _tr("mega reorder + group pad")
+            try:
+                perm = build_permute(target2, n_out=lvl1.in_rows * 128,
+                                     validate=False)
+            except ValueError:
+                pass     # router budget exceeded: keep the sort path
+            else:
+                _commit(perm, cols2, vals2, prod_len2)
+            _tr("level-1 router build")
     ddsum.levels[0] = jax.tree_util.tree_map(jnp.asarray, ddsum.levels[0])
     ddsum = ddsum.device_put()     # no-op on already-staged leaves
     _tr("level-1 staging dispatch")

@@ -207,9 +207,28 @@ class PermutePlan:
     HB: int = dataclasses.field(metadata=dict(static=True))
     n_in: int = dataclasses.field(metadata=dict(static=True))   # padded
     n_out: int = dataclasses.field(metadata=dict(static=True))  # padded
+    # uniform-cell mode (bpg > 0): NBi == NBo, group g = blocks
+    # [bpg*g, bpg*(g+1)) on BOTH sides, every (input block, dest block)
+    # pair within a group owns a fixed cell_rows-row cell of the mid
+    # space, and W1 writes the mid d-major DIRECTLY via a strided
+    # BlockSpec — the take stage (an HBM row gather that measured a flat
+    # 84 GB/s = ~8x sublane read amplification once the mid exceeds VMEM,
+    # benchmarks/microbench_take.py) disappears entirely.
+    bpg: int = dataclasses.field(default=0, metadata=dict(static=True))
+    cell_rows: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
 
     def device_put(self) -> "PermutePlan":
         return jax.tree_util.tree_map(jnp.asarray, self)
+
+
+def _cell_rows_for(bpg: int) -> int:
+    """Mid rows per cell: power of two (so cells tile the 128-row
+    halves), >= 2x the mean per-cell load BLOCK/bpg (overflow margin),
+    floor 8 (the sublane tile)."""
+    need = max(8, 2 * BLOCK // (bpg * 128))
+    return min(1 << max(need - 1, 0).bit_length()
+               if need & (need - 1) else need, 128)
 
 
 def build_permute(target: np.ndarray, n_out: int,
@@ -394,6 +413,109 @@ def build_permute(target: np.ndarray, n_out: int,
         NBi=NBi, NBo=NBo, HA=HA, HB=HB, n_in=n_in, n_out=n_out_pad)
 
 
+def cells_bpg() -> int:
+    """Dest/input blocks per uniform-cell group (env-overridable so CPU
+    tests can exercise the cells route at tiny scale)."""
+    return int(os.environ.get("ELLSPMV_TPU_STREAM_BPG", "16"))
+
+
+def build_permute_cells(target: np.ndarray,
+                        bpg: int | None = None) -> PermutePlan:
+    """Uniform-cell routing plan: `out[target[k]] = in[k]` where input
+    and output spaces are the SAME length (a whole number of
+    `bpg*BLOCK`-element groups) and every real element's input block and
+    dest block fall in the same group (the stream builder's fixed-width
+    mega grouping + full-group padding guarantee both).
+
+    Each (input block, dest block) pair inside a group owns a fixed
+    CELL_ROWS-row cell of the mid space, so W1 can write the mid
+    d-major DIRECTLY through a strided BlockSpec and the take stage — an
+    HBM row gather measured at a flat ~84 GB/s (8x sublane read
+    amplification) once the mid exceeds VMEM (microbench_take.py) —
+    disappears. Raises ValueError on cell overflow (> CELL_ROWS*128
+    elements for one (input block, dest block) pair) or a group-crossing
+    element; callers fall back to the general router."""
+    if bpg is None:
+        bpg = cells_bpg()
+    cell_rows = _cell_rows_for(bpg)
+    target = np.asarray(target, np.int64)
+    n = len(target)
+    if n == 0 or n % (bpg * BLOCK):
+        raise ValueError("cells input must be a whole number of groups")
+    NB = n // BLOCK
+    rows_per_b = bpg * cell_rows
+    HA = -(-rows_per_b // 128)
+    if HA > MAX_HALVES:
+        raise ValueError("cells: bpg needs too many half-blocks")
+
+    k = np.flatnonzero(target >= 0)
+    if len(k) == 0:
+        raise ValueError("cells route needs at least one element")
+    k32 = k.astype(np.int32)
+    tr32 = target[k].astype(np.int32)
+    b = k32 // BLOCK
+    r1 = (k32 % BLOCK) // 128
+    l1v = k32 % 128
+    d = tr32 // BLOCK
+    r2 = (tr32 % BLOCK) // 128
+    l2 = tr32 % 128
+    if int(tr32.max()) >= n or np.any(b // bpg != d // bpg):
+        raise ValueError("cells: element crosses its group")
+
+    from ellspmv_tpu.io import native as _nat
+    order = _nat.argsort(b.astype(np.uint64) * np.uint64(NB)
+                         + d.astype(np.uint64))
+    ob, od = b[order], d[order]
+    new_grp = np.concatenate([[True], (ob[1:] != ob[:-1])
+                              | (od[1:] != od[:-1])])
+    grp_id = np.cumsum(new_grp, dtype=np.int32) - 1
+    grp_sizes = np.bincount(grp_id)
+    if int(grp_sizes.max()) > cell_rows * 128:
+        raise ValueError("cells: cell overflow")
+    within = np.arange(len(order), dtype=np.int32) - np.concatenate(
+        [[0], np.cumsum(grp_sizes)])[:-1].astype(np.int32)[grp_id]
+
+    d_loc = (od % np.int32(bpg)).astype(np.int32)
+    ib_loc = (ob % np.int32(bpg)).astype(np.int32)
+    mid_rloc = d_loc * np.int32(cell_rows) + (within >> 7)
+    slot32 = ib_loc * np.int32(cell_rows) + (within >> 7)
+
+    # coloring 1: distinct colors within each input row and mid row
+    r1o = r1[order]
+    src1 = ob * np.int32(128) + r1o
+    mid_row = ob * np.int32(HA * 128) + mid_rloc
+    col1 = _edge_color_by_block(ob, src1, mid_row, 128,
+                                sorted_blocks=True).astype(np.int32,
+                                                           copy=False)
+    l1 = np.zeros(NB * 128 * 128, np.int8)
+    q1 = np.zeros(NB * HA * 128 * 128, np.int8)
+    l1[ob * (128 * 128) + r1o * 128 + col1] = l1v[order].astype(np.int8)
+    q1[(ob * HA + (mid_rloc >> 7)) * (128 * 128) + col1 * 128
+       + (mid_rloc & 127)] = r1o.astype(np.int8)
+
+    # coloring 2: distinct colors within each slot row and output row
+    r2o = r2[order]
+    src2 = od * np.int32(HA * 128) + slot32
+    dst2 = od * np.int32(128) + r2o
+    col2 = _edge_color_by_block(od, src2, dst2,
+                                128).astype(np.int32, copy=False)
+    l1b = np.zeros(NB * HA * 128 * 128, np.int8)
+    q2 = np.zeros(NB * 128 * 128, np.int16)
+    l3 = np.zeros(NB * 128 * 128, np.int8)
+    l1b[(od * HA + (slot32 >> 7)) * (128 * 128) + (slot32 & 127) * 128
+        + col2] = col1.astype(np.int8)
+    q2[od * (128 * 128) + col2 * 128 + r2o] = slot32.astype(np.int16)
+    l3[od * (128 * 128) + r2o * 128 + l2[order]] = col2.astype(np.int8)
+
+    return PermutePlan(
+        l1=l1.reshape(NB, 128, 128), q1=q1.reshape(NB, HA, 128, 128),
+        gsrc=np.zeros(0, np.int32),
+        l1b=l1b.reshape(NB, HA, 128, 128),
+        q2=q2.reshape(NB, 128, 128), l3=l3.reshape(NB, 128, 128),
+        NBi=NB, NBo=NB, HA=HA, HB=HA, n_in=n, n_out=n, bpg=bpg,
+        cell_rows=cell_rows)
+
+
 # --------------------------------------------------------------------------
 # Device kernels
 # --------------------------------------------------------------------------
@@ -475,6 +597,119 @@ def _w1(l1, q1, *payloads, HA, NBi, n, interpret=False):
     return outs if n > 1 else [outs]
 
 
+def _make_w1_cells_kernel(HA: int, n_payload: int, bpg: int,
+                          cell_rows: int):
+    rows_per_b = bpg * cell_rows
+
+    def kernel(*refs):
+        l1_ref, q1_ref = refs[:2]
+        ins = refs[2:2 + n_payload]
+        outs = refs[2 + n_payload:]
+        l1 = l1_ref[0].astype(jnp.int32)
+        for i in range(n_payload):
+            w = _lane_gather(ins[i][0], l1)
+            wt = w.T
+            for h in range(HA):
+                q = q1_ref[0, h].astype(jnp.int32)
+                half = _lane_gather(wt, q).T      # (128,128) mid rows
+                r0 = h * 128
+                nrows = min(128, rows_per_b - r0)
+                # mid rows are d-major by construction (cell row base =
+                # d_local*CELL_ROWS): write them straight into the
+                # dest-major strided output block — this IS the take
+                outs[i][r0 // cell_rows:(r0 + nrows) // cell_rows] = \
+                    half[:nrows].reshape(nrows // cell_rows,
+                                         cell_rows, 128)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("HA", "NB", "bpg", "cell_rows", "n",
+                                    "interpret"))
+def _w1_cells(l1, q1, *payloads, HA, NB, bpg, cell_rows, n,
+              interpret=False):
+    def im2(i):
+        return (i, _i0(), _i0())
+
+    def im3(i):
+        return (i, _i0(), _i0(), _i0())
+
+    def omap(i):
+        return (i // bpg, i % bpg, _i0())
+
+    in_specs = ([pl.BlockSpec((1, 128, 128), im2,
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, HA, 128, 128), im3,
+                              memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, 128, 128), im2,
+                                memory_space=pltpu.VMEM)] * n)
+    out_specs = [pl.BlockSpec((bpg, cell_rows, 128), omap,
+                              memory_space=pltpu.VMEM) for _ in range(n)]
+    outs = pl.pallas_call(
+        _make_w1_cells_kernel(HA, n, bpg, cell_rows),
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=out_specs if n > 1 else out_specs[0],
+        out_shape=([jax.ShapeDtypeStruct((NB, HA * 128, 128), jnp.float32)
+                    for _ in range(n)] if n > 1 else
+                   jax.ShapeDtypeStruct((NB, HA * 128, 128), jnp.float32)),
+        interpret=interpret,
+    )(l1, q1, *payloads)
+    return outs if n > 1 else [outs]
+
+
+def _make_w2_cells_kernel(HB: int, n_payload: int):
+    def kernel(*refs):
+        l1b_ref, q2_ref, l3_ref = refs[:3]
+        ins = refs[3:3 + n_payload]
+        outs = refs[3 + n_payload:]
+        q2 = q2_ref[0].astype(jnp.int32)
+        l3 = l3_ref[0].astype(jnp.int32)
+        qlo = jax.lax.bitwise_and(q2, jnp.int32(127))
+        qhi = jax.lax.shift_right_logical(q2, jnp.int32(7))
+        for i in range(n_payload):
+            zt = None
+            for h in range(HB):
+                lh = l1b_ref[0, h].astype(jnp.int32)
+                opnd = ins[i][0, 128 * h:128 * (h + 1)]
+                wt = _lane_gather(opnd, lh).T
+                cand = _lane_gather(wt, qlo)
+                zt = cand if zt is None else jnp.where(
+                    qhi == jnp.int32(h), cand, zt)
+            outs[i][0] = _lane_gather(zt.T, l3)
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("HB", "NB", "n", "interpret"))
+def _w2_cells(l1b, q2, l3, *payloads, HB, NB, n, interpret=False):
+    def im2(i):
+        return (i, _i0(), _i0())
+
+    def im3(i):
+        return (i, _i0(), _i0(), _i0())
+
+    in_specs = ([pl.BlockSpec((1, HB, 128, 128), im3,
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, HB * 128, 128), im2,
+                                memory_space=pltpu.VMEM)] * n)
+    out_specs = [pl.BlockSpec((1, 128, 128), im2, memory_space=pltpu.VMEM)
+                 for _ in range(n)]
+    outs = pl.pallas_call(
+        _make_w2_cells_kernel(HB, n),
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=out_specs if n > 1 else out_specs[0],
+        out_shape=([jax.ShapeDtypeStruct((NB, 128, 128), jnp.float32)
+                    for _ in range(n)] if n > 1 else
+                   jax.ShapeDtypeStruct((NB, 128, 128), jnp.float32)),
+        interpret=interpret,
+    )(l1b, q2, l3, *payloads)
+    return outs if n > 1 else [outs]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("HB", "NBo", "n", "interpret"))
 def _w2(l1b, q2, l3, *payloads, HB, NBo, n, interpret=False):
@@ -516,6 +751,19 @@ def apply_permute(plan: PermutePlan, *payloads, interpret: bool = False):
         p = jnp.asarray(p)
         p = jnp.pad(p, (0, plan.n_in - p.shape[0]))
         ins.append(p.reshape(plan.NBi, 128, 128))
+    if plan.bpg:
+        # uniform-cell route: W1 writes the mid dest-major directly (the
+        # strided out BlockSpec IS the take); W2 reads its 256 slot rows
+        # as one contiguous block
+        mids = _w1_cells(jnp.asarray(plan.l1), jnp.asarray(plan.q1),
+                         *ins, HA=plan.HA, NB=plan.NBi, bpg=plan.bpg,
+                         cell_rows=plan.cell_rows,
+                         n=len(ins), interpret=interpret)
+        outs = _w2_cells(jnp.asarray(plan.l1b), jnp.asarray(plan.q2),
+                         jnp.asarray(plan.l3), *mids,
+                         HB=plan.HB, NB=plan.NBo, n=len(mids),
+                         interpret=interpret)
+        return [o.reshape(-1) for o in outs]
     mids = _w1(jnp.asarray(plan.l1), jnp.asarray(plan.q1), *ins,
                HA=plan.HA, NBi=plan.NBi, n=len(ins), interpret=interpret)
     gsrc = jnp.asarray(plan.gsrc)

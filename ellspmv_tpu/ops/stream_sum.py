@@ -651,7 +651,7 @@ def _fold_buckets(level: SumLevel, max_k: int = 1024) -> None:
     level.buckets = new
 
 
-def _splice_chunk_levels(parts):
+def _splice_chunk_levels(parts, region_align=0):
     """Merge per-chunk level-1 builds into ONE SumLevel over a global
     stream whose chunk regions are consecutive BLOCK-aligned slices.
 
@@ -665,11 +665,17 @@ def _splice_chunk_levels(parts):
     out_dest_global | None, chunk_bases)."""
     from ellspmv_tpu.ops.permute import BLOCK
 
+    # chunk regions align to `region_align` (= bpg*BLOCK when the
+    # uniform-cell router will be attempted, so its group grid tiles
+    # them exactly; plain BLOCK otherwise — the bigger pad would cost
+    # the general route ~25% dead dest blocks at 1M scale). The
+    # general/sort paths tolerate either (gap fillers cover the pad).
+    align = max(region_align, BLOCK)
     bases, pos = [], 0
     for (lv, od, top, seg_len) in parts:
         bases.append(pos)
         if lv is not None:
-            pos += _round_up(max(int(top), 1), BLOCK)
+            pos += _round_up(max(int(top), 1), align)
     bases.append(pos)
     if pos + 1 >= np.iinfo(np.int32).max:
         raise ValueError("chunked stream position space exceeds int32")
@@ -777,7 +783,7 @@ def _splice_chunk_levels(parts):
 
 
 def _build_chunked_level1(dest: np.ndarray, n_rows: int, cap: int,
-                          chunk_starts):
+                          chunk_starts, region_align=0):
     """Per-column-chunk level-1 builds spliced into one global SumLevel.
 
     Each chunk's entries (a contiguous slice of `dest` — the stream
@@ -815,11 +821,12 @@ def _build_chunked_level1(dest: np.ndarray, n_rows: int, cap: int,
             seg, n_rows, cap, include_empty_rows=False,
             force_multi=force_multi, empty_terminal=emp)
         parts.append((level, od, shape[3], len(seg)))
-    return _splice_chunk_levels(parts)
+    return _splice_chunk_levels(parts, region_align)
 
 
 def build_stream_sum(dest: np.ndarray, n_rows: int, cap: int = 128,
-                     chunk_starts=None) -> StreamSumPlan:
+                     chunk_starts=None,
+                     region_align: int = 0) -> StreamSumPlan:
     """Build the (possibly multi-level) sum plan for a value stream whose
     position k carries an addend for row `dest[k]` (-1 = padding).
 
@@ -833,7 +840,7 @@ def build_stream_sum(dest: np.ndarray, n_rows: int, cap: int = 128,
     chunk_bases = ()
     if chunk_starts is not None and len(chunk_starts) > 2:
         level, nxt, chunk_bases = _build_chunked_level1(
-            cur, n_rows, cap, chunk_starts)
+            cur, n_rows, cap, chunk_starts, region_align)
         _fold_buckets(level)
         levels.append(level)
         first = False

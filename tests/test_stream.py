@@ -205,6 +205,45 @@ def test_stream_chunk_count_rule():
         x, rtol=1e-12)
 
 
+def test_stream_cells_router(rng, monkeypatch):
+    """Uniform-cell level-1 route (the take-free W1-direct-write path,
+    VERDICT r5 scale work): fixed 16-block groups, W1 writes the mid
+    dest-major via a strided BlockSpec, W2 reads contiguous slot rows."""
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_BPG", "2")
+    monkeypatch.setenv("ELLSPMV_TPU_CELLS_MIN", "0")
+    coo = random_coo(rng, 500, 900, 6000)
+    sm = _check(coo, np.float64, rng)
+    perm = sm.ddsum.levels[0].perm
+    assert perm is not None and perm.bpg == 2     # cells route active
+    assert len(perm.gsrc) == 0                    # no take stage
+    # f32 path through the same route
+    coo2 = random_coo(rng, 300, 700, 3000)
+    _check(coo2, np.float32, rng, y=rng.randn(300))
+
+
+def test_stream_cells_overflow_falls_back(rng, monkeypatch):
+    """A (input block, dest block) cell overflow (dense row: consecutive
+    stream slots) must fall back to the general router, not fail."""
+    from ellspmv_tpu.formats.coo import CooMatrix
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_BPG", "4")   # capacity 8192
+    monkeypatch.setenv("ELLSPMV_TPU_CELLS_MIN", "0")
+    n = 400
+    rows = np.concatenate([np.zeros(15000, np.int32),
+                           rng.randint(0, n, 3000).astype(np.int32)])
+    # the dense row's columns confined to chunk 0: its ~15000 consecutive
+    # stream slots land in one (input block, dest block) cell there
+    cols = np.concatenate([
+        rng.randint(0, n // 3, 15000),
+        rng.randint(0, n, 3000)]).astype(np.int32)
+    vals = rng.randn(rows.shape[0])
+    coo = CooMatrix(n, n, rows, cols, vals)       # dup entries accumulate
+    sm = _check(coo, np.float64, rng)
+    perm = sm.ddsum.levels[0].perm
+    assert perm is None or perm.bpg == 0          # general route / sort
+
+
 def test_stream_chunked_exact_small_ints(rng, monkeypatch):
     """Chunked build is EXACTLY the same sum as unchunked on small-int
     f32 values (both must equal numpy bincount)."""
