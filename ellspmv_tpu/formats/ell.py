@@ -110,13 +110,20 @@ def ell_from_coo(coo, separate_diagonal: bool = False,
     val_dt = np.dtype(value_dtype) if value_dtype else coo.values.dtype
 
     n_pad = max(_round_up(n, row_tile), row_tile)
-    # Padding column = min(i, num_cols-1): in-bounds, value 0 (ellspmv.c:1111).
-    pad_col = np.minimum(np.arange(n_pad, dtype=idx_dt),
-                         max(m - 1, 0)).astype(idx_dt)
-    colidx = np.broadcast_to(pad_col[:, None], (n_pad, rowsize)).copy() \
-        if rowsize else np.zeros((n_pad, 0), idx_dt)
-    values = np.zeros((n_pad, rowsize), val_dt)
 
+    def _alloc_padded():
+        # Padding column = min(i, num_cols-1): in-bounds, value 0
+        # (ellspmv.c:1111). Allocated lazily: when the native packer
+        # takes the conversion these 1.8 GB (at the 114M-nnz reference
+        # scale) of fills were thrown away (measured ~2 s of the 13.5 s
+        # conversion, r5).
+        pad_col = np.minimum(np.arange(n_pad, dtype=idx_dt),
+                             max(m - 1, 0)).astype(idx_dt)
+        ci = np.broadcast_to(pad_col[:, None], (n_pad, rowsize)).copy() \
+            if rowsize else np.zeros((n_pad, 0), idx_dt)
+        return ci, np.zeros((n_pad, rowsize), val_dt)
+
+    colidx = values = None
     if coo.num_nonzeros and rowsize:
         packed = False
         if (idx_dt == np.dtype(np.int32)
@@ -136,6 +143,7 @@ def ell_from_coo(coo, separate_diagonal: bool = False,
                 except native.NativeUnsupported:
                     pass
         if not packed:
+            colidx, values = _alloc_padded()
             # Scatter pass. Order by (row [, col]) — one lexsort subsumes
             # both the reference's per-row fill cursor (ellspmv.c:1097-1107)
             # and rowsort.
@@ -151,6 +159,8 @@ def ell_from_coo(coo, separate_diagonal: bool = False,
             # Duplicate (row, col) entries occupy separate slots, as in the
             # reference (each COO triplet gets its own ELL slot).
             values[r, slot] = coo.values[order].astype(val_dt)
+    if colidx is None:
+        colidx, values = _alloc_padded()
 
     if diag is not None:
         d = np.zeros(n_pad, val_dt)
