@@ -113,6 +113,12 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                   flush=True)
             _tlast[0] = now
 
+    if m > np.iinfo(np.int32).max:
+        # column ids ride as int32 through the product plan (the window
+        # quantization makes the KERNEL index width free — config.py —
+        # but the host-side plan arrays are int32); the IDXTYPEWIDTH=64
+        # analogue for streams would need an int64 plan build
+        raise ValueError("stream format: column count exceeds int32")
     from ellspmv_tpu.io import native as _native
     order = _native.argsort(coo.colidx)
     cols = coo.colidx[order].astype(np.int32, copy=False)
