@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--no-permute", action="store_true")
     ap.add_argument("--stages", action="store_true",
                     help="also time products / products+route stages")
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform-column random matrix instead of "
+                         "power-law (no hub rows/columns: the clean "
+                         "distribution where the uniform-cell router "
+                         "engages at scale)")
     args = ap.parse_args()
     if args.no_permute:
         os.environ["ELLSPMV_TPU_NO_PERMUTE"] = "1"
@@ -44,8 +49,19 @@ def main():
     print(f"platform: {jax.devices()[0].platform} "
           f"({jax.devices()[0].device_kind})", flush=True)
     t0 = time.perf_counter()
-    coo = power_law(args.n, args.avg, seed=args.seed)
-    print(f"power_law({args.n}, {args.avg}): {coo.num_nonzeros:,} nnz "
+    if args.uniform:
+        rng = np.random.RandomState(args.seed)
+        nnz = args.n * args.avg
+        rows = rng.randint(0, args.n, nnz).astype(np.int32)
+        cols_u = rng.randint(0, args.n, nnz).astype(np.int32)
+        from ellspmv_tpu.formats.coo import CooMatrix
+        coo = CooMatrix(args.n, args.n, rows, cols_u,
+                        rng.randn(nnz))
+        gen = f"uniform({args.n}, {args.avg})"
+    else:
+        coo = power_law(args.n, args.avg, seed=args.seed)
+        gen = f"power_law({args.n}, {args.avg})"
+    print(f"{gen}: {coo.num_nonzeros:,} nnz "
           f"({time.perf_counter() - t0:.2f} s)", flush=True)
 
     t0 = time.perf_counter()
@@ -53,11 +69,14 @@ def main():
     t_conv = time.perf_counter() - t0
     perm = strm.ddsum.levels[0].perm
     nchunk = max(len(strm.ddsum.chunk_bases) - 1, 1)
+    rdesc = ("OFF (sort)" if perm is None else
+             ("CELLS (bpg=%d cell_rows=%d NB=%d)"
+              % (perm.bpg, perm.cell_rows, perm.NBi)) if perm.bpg else
+             ("ON (HA=%d HB=%d NBi=%d NBo=%d)"
+              % (perm.HA, perm.HB, perm.NBi, perm.NBo)))
     print(f"stream_from_coo: {t_conv:.2f} s, "
           f"{len(strm.ddsum.levels)} levels, {nchunk} column chunks, "
-          f"prod_len {strm.prod_len:,}, "
-          f"router: {'ON (HA=%d HB=%d NBi=%d NBo=%d)' % (perm.HA, perm.HB, perm.NBi, perm.NBo) if perm is not None else 'OFF (sort)'}",
-          flush=True)
+          f"prod_len {strm.prod_len:,}, router: {rdesc}", flush=True)
     for li, lv in enumerate(strm.ddsum.levels[1:], 1):
         print(f"  level {li}: in {lv.in_len:,} -> out {lv.out_len:,} "
               f"(multi {lv.multi_len:,}), "

@@ -115,6 +115,13 @@ def main():
     if "take" in which:
         stage("microbench-take", [py, "benchmarks/microbench_take.py"],
               timeout=2400)
+    if "uniform" in which:
+        stage("uniform21M-cells", [py, bs, "--uniform",
+                                   "--n", "3000000", "--avg", "7"],
+              timeout=3600)
+        stage("uniform21M-nocells", [py, bs, "--uniform",
+                                     "--n", "3000000", "--avg", "7"],
+              env={"ELLSPMV_TPU_NO_CELLS": "1"}, timeout=3600)
     log("driver done")
 
 
