@@ -146,33 +146,40 @@ def main():
             return ph[:a.shape[0]] * 1e-6, plo[:a.shape[0]] * 1e-6
 
         time_stage("products", prod_only)
-        if perm is not None:
+        if perm is not None and not perm.bpg:
+            # general route only (the cells route has no take stage);
+            # the perm rides as jit ARGUMENTS everywhere — numpy maps
+            # closed over become HLO constants whose serialized program
+            # blows the remote-compile request limit at 10x (HTTP 413)
             from ellspmv_tpu.ops.permute import _w1, _w2
+            perm_dev = perm.device_put()
 
-            def _pad_blocks(v):
-                v = jnp.pad(v.reshape(-1), (0, perm.n_in - v.size))
-                return v.reshape(perm.NBi, 128, 128)
+            def _pad_blocks(pm, v):
+                v = jnp.pad(v.reshape(-1), (0, pm.n_in - v.size))
+                return v.reshape(pm.NBi, 128, 128)
 
             def prod_w1(op, a, b):
-                ph, plo = op.apply_pair(a, b)
-                mids = _w1(jnp.asarray(perm.l1), jnp.asarray(perm.q1),
-                           _pad_blocks(ph), _pad_blocks(plo),
-                           HA=perm.HA, NBi=perm.NBi, n=2)
+                prod, pm = op
+                ph, plo = prod.apply_pair(a, b)
+                mids = _w1(pm.l1, pm.q1,
+                           _pad_blocks(pm, ph), _pad_blocks(pm, plo),
+                           HA=pm.HA, NBi=pm.NBi, n=2)
                 return (mids[0].reshape(-1)[:a.shape[0]] * 1e-6,
                         mids[1].reshape(-1)[:a.shape[0]] * 1e-6)
-            time_stage("products+w1", prod_w1)
+            time_stage("products+w1", prod_w1, op=(strm.prod, perm_dev))
 
             def prod_w1_take(op, a, b):
-                ph, plo = op.apply_pair(a, b)
-                mids = _w1(jnp.asarray(perm.l1), jnp.asarray(perm.q1),
-                           _pad_blocks(ph), _pad_blocks(plo),
-                           HA=perm.HA, NBi=perm.NBi, n=2)
-                gsrc = jnp.asarray(perm.gsrc)
-                taken = [jnp.take(m.reshape(perm.NBi * perm.HA * 128, 128),
-                                  gsrc, axis=0) for m in mids]
+                prod, pm = op
+                ph, plo = prod.apply_pair(a, b)
+                mids = _w1(pm.l1, pm.q1,
+                           _pad_blocks(pm, ph), _pad_blocks(pm, plo),
+                           HA=pm.HA, NBi=pm.NBi, n=2)
+                taken = [jnp.take(m.reshape(pm.NBi * pm.HA * 128, 128),
+                                  pm.gsrc, axis=0) for m in mids]
                 return (taken[0].reshape(-1)[:a.shape[0]] * 1e-6,
                         taken[1].reshape(-1)[:a.shape[0]] * 1e-6)
-            time_stage("products+w1+take", prod_w1_take)
+            time_stage("products+w1+take", prod_w1_take,
+                       op=(strm.prod, perm_dev))
 
             def prod_route(op, a, b):
                 # the perm rides inside `op` as jit ARGUMENTS — closing

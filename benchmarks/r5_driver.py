@@ -115,6 +115,13 @@ def main():
     if "take" in which:
         stage("microbench-take", [py, "benchmarks/microbench_take.py"],
               timeout=2400)
+    if "midscale" in which:
+        # power-law 21M nnz: above the 16M cells gate — direct cells
+        # (take-free) vs general-router A/B at mid scale
+        stage("midscale21M-cells", [py, bs, "--n", "3000000"],
+              timeout=3600)
+        stage("midscale21M-nocells", [py, bs, "--n", "3000000"],
+              env={"ELLSPMV_TPU_NO_CELLS": "1"}, timeout=3600)
     if "uniform" in which:
         stage("uniform21M-cells", [py, bs, "--uniform",
                                    "--n", "3000000", "--avg", "7"],

@@ -232,11 +232,55 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                 pos2 = offs[grp_of] + within
                 prod_len2 = int(padded.sum())
             else:
+                # Uniform-cell QUOTA deal: the stable (mega, col) sort
+                # alone concentrates (input block, dest block) cells
+                # far past the 2x-margin capacity (measured max 13,011
+                # vs cap 2,048 at power-law 21M nnz: hub-column tie
+                # runs land consecutively, and multi-prefix dest blocks
+                # hold high-count sub-rows whose zipf-spread columns
+                # pile onto the chunk's dense head — the latter is
+                # scramble-proof).  Correct by construction instead:
+                # entry j (column order) of each (group, dest block)
+                # bucket is assigned quota block j*bpg//cnt_d, so every
+                # cell holds <= ceil(cnt_d/bpg) <= BLOCK/bpg entries —
+                # half the cell capacity — at ANY scale or structure.
+                # The sort by (group, quota block) is stable, so ties
+                # keep (mega, col) order: each input block's entries
+                # stay column-sorted and the product windows keep their
+                # locality (a per-bucket quantile deal without the
+                # block-granular re-sort measured ks_mean 6 -> 305; the
+                # quota deal keeps the mix at block granularity where
+                # tiles re-sort to column-contiguous slices).
+                bpg_r = full_cap // BLOCK
+                tpre = target[:nnz][pre]
+                d_loc = np.where(tpre >= 0, (tpre // BLOCK) % bpg_r,
+                                 np.int64(bpg_r))
+                nb_buckets = bpg_r + 1
+                bucket = mega_s * np.int64(nb_buckets) + d_loc
+                ob = _native.argsort(bucket.astype(np.uint64))
+                cnt = np.bincount(bucket,
+                                  minlength=int(ngr) * nb_buckets)
+                starts_b = np.concatenate(
+                    [[0], np.cumsum(cnt)]).astype(np.int64)
+                within_d = np.empty(nnz, np.int64)
+                within_d[ob] = np.arange(nnz) - starts_b[bucket[ob]]
+                qb = (within_d * bpg_r
+                      // np.maximum(cnt[bucket], 1)).astype(np.uint64)
+                deal = _native.argsort(
+                    (mega_s.astype(np.uint64) << np.uint64(8)) | qb)
+                pre = pre[deal]
+                mega_s = mega_s[deal]
                 sizes = np.bincount(mega_s, minlength=ngr)
                 assert int(sizes.max(initial=0)) <= full_cap
                 starts_g = np.concatenate([[0], np.cumsum(sizes)])
-                within = np.arange(nnz) - starts_g[mega_s]
-                pos2 = mega_s * np.int64(full_cap) + within
+                rank = np.arange(nnz) - starts_g[mega_s]
+                # spread real entries over the WHOLE group capacity
+                # (strictly increasing since full_cap >= group size), so
+                # a near-empty group cannot compress one dest block's
+                # entries into its first input blocks
+                pos2 = (mega_s * np.int64(full_cap)
+                        + rank * np.int64(full_cap)
+                        // np.maximum(sizes[mega_s], 1))
                 prod_len2 = int(ngr) * full_cap
             cols2 = np.zeros(prod_len2, np.int32)
             vals2 = np.zeros(prod_len2, val_dt)
@@ -291,8 +335,13 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             _tr("cells reorder + full-group pad")
             try:
                 perm = build_permute_cells(target2, bpgc)
-            except ValueError:
-                pass            # cell overflow: general route below
+            except ValueError as e:
+                # overflow/budget: general route below (not silent —
+                # the reason matters when diagnosing a take-stage
+                # regression at scale, r5_hw_log 78 ms vs cells)
+                if os.environ.get("ELLSPMV_TPU_CONVERT_TRACE"):
+                    print(f"  [convert] cells route fallback: {e}",
+                          flush=True)
             else:
                 _commit(perm, cols2, vals2, prod_len2)
                 done = True

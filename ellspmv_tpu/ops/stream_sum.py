@@ -371,7 +371,8 @@ def _attach_perms(plan: "StreamSumPlan") -> None:
 def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                  include_empty_rows: bool, forward_all: bool = False,
                  forced=None, force_multi: np.ndarray | None = None,
-                 empty_terminal: np.ndarray | None = None):
+                 empty_terminal: np.ndarray | None = None,
+                 scramble: bool = False):
     """One sum level. `dest` maps each input position to a row (-1 = pad).
 
     Rows with <= cap entries complete here: their sums land in the
@@ -412,9 +413,24 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
                                                           copy=False)
 
     # rank of each entry within its row, by position order (stable; native
-    # radix — numpy introsort costs ~1 s at 7M keys, VERDICT r3 item 5)
+    # radix — numpy introsort costs ~1 s at 7M keys, VERDICT r3 item 5).
+    # cells mode (scramble): rank by a POSITION HASH instead — positional
+    # ranks over a column-sorted segment make slot-s runs order-statistic
+    # tails (slot 0 = every row's MINIMUM column), which concentrates a
+    # dest block's slot-0 runs into the low-column input blocks of the
+    # uniform-cell router (~6x mean cell load measured at power-law 21M
+    # nnz; BENCH_NOTES round 3 saw the same tails on banded-random).
+    # Which entry takes which rank only relabels entry -> position within
+    # the row's own runs; the per-row addend set, the aligned layout and
+    # every window are unchanged.
     from ellspmv_tpu.io import native as _native
-    order = _native.argsort(rows_v)
+    if scramble and idt is np.int32:    # row ids fit the 32-bit key half
+        h = ((vpos.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(32))
+        order = _native.argsort(
+            (rows_v.astype(np.uint64) << np.uint64(32)) | h)
+    else:
+        order = _native.argsort(rows_v)
     starts = np.concatenate([[0], np.cumsum(counts)]).astype(idt)
     rank_sorted = np.arange(len(vpos), dtype=idt) - starts[rows_v[order]]
     rank = np.empty(len(vpos), idt)
@@ -446,7 +462,23 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
         vrow_multi = (counts > cap)[parent]          # (n_vrows,)
         if force_multi is not None:
             vrow_multi |= force_multi[parent]
-    sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
+    if scramble:
+        # cells-route decorrelation: the stable lexsort otherwise keeps
+        # equal-count rows in row-id order, so a dest block is a
+        # CONTIGUOUS row range — and near-diagonal matrices put those
+        # rows' columns in one input block of the uniform-cell router
+        # (measured: worst (b,d) cell = 6,842 entries from ~3,400
+        # consecutive rows x ~2 near-diagonal entries vs cap 2,048 at
+        # power-law 21M nnz). A multiplicative-hash tie-break scatters
+        # each dest block's rows across the chunk's whole row space;
+        # counts stay descending within tiles (hash is the LAST key).
+        h = ((np.arange(n_vrows, dtype=np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(33)).astype(np.int64)
+        sigperm = np.lexsort((h, -vcounts,
+                              np.where(vrow_multi, 0, 1)))
+    else:
+        sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
     n_multi_v = int(vrow_multi.sum())
     n_multi_pad = _round_up(n_multi_v, R) if n_multi_v else 0
     n_single_v = n_vrows - n_multi_v
@@ -819,7 +851,8 @@ def _build_chunked_level1(dest: np.ndarray, n_rows: int, cap: int,
             continue
         level, od, shape = _build_level(
             seg, n_rows, cap, include_empty_rows=False,
-            force_multi=force_multi, empty_terminal=emp)
+            force_multi=force_multi, empty_terminal=emp,
+            scramble=region_align > 0)
         parts.append((level, od, shape[3], len(seg)))
     return _splice_chunk_levels(parts, region_align)
 

@@ -222,9 +222,13 @@ def test_stream_cells_router(rng, monkeypatch):
     _check(coo2, np.float32, rng, y=rng.randn(300))
 
 
-def test_stream_cells_overflow_falls_back(rng, monkeypatch):
-    """A (input block, dest block) cell overflow (dense row: consecutive
-    stream slots) must fall back to the general router, not fail."""
+def test_stream_cells_dense_row_survives_deal(rng, monkeypatch):
+    """A dense row used to overflow one (input block, dest block) cell
+    (its ~15000 stream slots are consecutive dest positions) and forced
+    the take-stage fallback.  The proportional dest-block deal in the
+    cells reorder spreads every bucket across the group's input blocks
+    (<= BLOCK/bpg per cell, always under the 2x-margin capacity), so the
+    cells route must now ENGAGE and stay correct."""
     from ellspmv_tpu.formats.coo import CooMatrix
     monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
     monkeypatch.setenv("ELLSPMV_TPU_STREAM_BPG", "4")   # capacity 8192
@@ -232,13 +236,29 @@ def test_stream_cells_overflow_falls_back(rng, monkeypatch):
     n = 400
     rows = np.concatenate([np.zeros(15000, np.int32),
                            rng.randint(0, n, 3000).astype(np.int32)])
-    # the dense row's columns confined to chunk 0: its ~15000 consecutive
-    # stream slots land in one (input block, dest block) cell there
     cols = np.concatenate([
         rng.randint(0, n // 3, 15000),
         rng.randint(0, n, 3000)]).astype(np.int32)
     vals = rng.randn(rows.shape[0])
     coo = CooMatrix(n, n, rows, cols, vals)       # dup entries accumulate
+    sm = _check(coo, np.float64, rng)
+    perm = sm.ddsum.levels[0].perm
+    assert perm is not None and perm.bpg == 4     # cells route engaged
+
+
+def test_stream_cells_build_error_falls_back(rng, monkeypatch):
+    """Any ValueError out of build_permute_cells (overflow, budget) must
+    fall back to the general router, not fail the conversion."""
+    from ellspmv_tpu.ops import permute as permute_mod
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_CHUNKS", "3")
+    monkeypatch.setenv("ELLSPMV_TPU_STREAM_BPG", "2")
+    monkeypatch.setenv("ELLSPMV_TPU_CELLS_MIN", "0")
+
+    def boom(target, bpg=None):
+        raise ValueError("forced cells failure")
+    # stream_from_coo imports the symbol at call time from ops.permute
+    monkeypatch.setattr(permute_mod, "build_permute_cells", boom)
+    coo = random_coo(rng, 500, 900, 6000)
     sm = _check(coo, np.float64, rng)
     perm = sm.ddsum.levels[0].perm
     assert perm is None or perm.bpg == 0          # general route / sort
