@@ -186,12 +186,30 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
     # jnp.asarray dispatch is async, so the deeper levels and the final
     # reorder stream to the device WHILE the host builds the level-1
     # router below (staging serialized after the whole build cost seconds
-    # of the in-context conversion budget, VERDICT r4 item 3)
+    # of the in-context conversion budget, VERDICT r4 item 3). Through
+    # the axon tunnel even the DISPATCH costs ~30 ms per buffer (a
+    # synchronous per-transfer round trip — measured 1.4 s for the deep
+    # levels alone), so by default the dispatch itself runs on a worker
+    # thread: the plan-build stages below are numpy/ctypes (GIL
+    # released) and overlap it. ELLSPMV_TPU_SYNC_STAGING=1 restores the
+    # inline dispatch.
     _put = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
-    ddsum.levels[1:] = [_put(lv) for lv in ddsum.levels[1:]]
-    ddsum.final_keys = jnp.asarray(ddsum.final_keys)
-    if ddsum.final_perm is not None:
-        ddsum.final_perm = _put(ddsum.final_perm)
+    _stager = None
+    _deep_fut = _l1_fut = None
+    if not os.environ.get("ELLSPMV_TPU_SYNC_STAGING"):
+        import concurrent.futures as _cf
+        _stager = _cf.ThreadPoolExecutor(1)
+    if _stager is None:
+        ddsum.levels[1:] = [_put(lv) for lv in ddsum.levels[1:]]
+        ddsum.final_keys = jnp.asarray(ddsum.final_keys)
+        if ddsum.final_perm is not None:
+            ddsum.final_perm = _put(ddsum.final_perm)
+    else:
+        _deep_fut = _stager.submit(
+            lambda lvls=list(ddsum.levels[1:]), fk=ddsum.final_keys,
+            fp=ddsum.final_perm: ([_put(lv) for lv in lvls],
+                                  jnp.asarray(fk),
+                                  None if fp is None else _put(fp)))
     _tr("deep-level staging dispatch")
 
     # replace the level-1 runtime key sort with a statically planned
@@ -389,8 +407,14 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
             else:
                 _commit(perm, cols2, vals2, prod_len2)
             _tr("level-1 router build")
-    ddsum.levels[0] = jax.tree_util.tree_map(jnp.asarray, ddsum.levels[0])
-    ddsum = ddsum.device_put()     # no-op on already-staged leaves
+    if _stager is None:
+        ddsum.levels[0] = jax.tree_util.tree_map(jnp.asarray,
+                                                 ddsum.levels[0])
+        ddsum = ddsum.device_put()  # no-op on already-staged leaves
+    else:
+        # level 1 is finalized by the router commit above; ship it from
+        # the worker while the product plan builds below
+        _l1_fut = _stager.submit(lambda lv=ddsum.levels[0]: _put(lv))
     _tr("level-1 staging dispatch")
 
     # rowsize-1 ELL over the (possibly re-ordered, group-padded) entries:
@@ -410,6 +434,16 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
         prod_ell, value_dtype=np.float64 if dd else np.float32,
         **({"row_tiles": (int(prod_rt),)} if prod_rt else {}))
     _tr("product plan build")
+    if _stager is not None:
+        lvls, fk, fp = _deep_fut.result()
+        ddsum.levels[1:] = lvls
+        ddsum.final_keys = fk
+        if fp is not None:
+            ddsum.final_perm = fp
+        ddsum.levels[0] = _l1_fut.result()
+        ddsum = ddsum.device_put()  # no-op on already-staged leaves
+        _stager.shutdown()
+        _tr("staging resolve")
     if plan is not None:
         dp = ell_pallas.DevicePlan(prod_ell, plan, dd)
         assert plan.n_pad == prod_len
