@@ -635,7 +635,11 @@ def _w1_cells(l1, q1, *payloads, HA, NB, bpg, cell_rows, n,
         return (i, _i0(), _i0(), _i0())
 
     def omap(i):
-        return (i // bpg, i % bpg, _i0())
+        # jnp.int32 operands: arithmetic with bare Python ints traces
+        # i64 under jax_enable_x64 and Mosaic's convert lowering then
+        # recurses forever on the i32->i64 cast (CLAUDE.md hazard list)
+        b = jnp.int32(bpg)
+        return (i // b, jax.lax.rem(i, b), _i0())
 
     in_specs = ([pl.BlockSpec((1, 128, 128), im2,
                               memory_space=pltpu.VMEM),
