@@ -208,10 +208,23 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
             nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
         sbase = slot * jnp.int32(K128)
 
+        # chunked per-tile window DMA: a 2-row wbase128 carries per-tile
+        # 8-row chunk counts in row 1 (DevicePlan). The monolithic K128
+        # copy priced the window at the plan-global MAX span for every
+        # tile — 5.33 GB/iter vs 0.24 ideal at power-law 21M (ks_mean
+        # 8.4 but K128=248 from p99.9 outlier tiles); at 10x scale the
+        # static window was ~23 GB/iter, the dominant stream cost.
+        # Chunked reads are a strict subset of the old K128 reads, so
+        # the x-image bounds the plan already guarantees still hold.
+        chunked_w = len(wb_ref.shape) == 2
+
+        def _wb(tile):
+            return wb_ref[0, tile] if chunked_w else wb_ref[tile]
+
         def dmas(buf, tile):
             # each scratch is (2*K128, 128): buffer b = rows [b*K128, ...)
             dst = pl.ds(buf * jnp.int32(K128), K128)
-            src = pl.ds(wb_ref[tile], K128)
+            src = pl.ds(_wb(tile), K128)
             if dd:
                 return (pltpu.make_async_copy(xh_ref.at[src], xw.at[dst],
                                               sem.at[buf]),
@@ -219,6 +232,43 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
                                               seml.at[buf]))
             return (pltpu.make_async_copy(x_ref.at[src], xw.at[dst],
                                           sem.at[buf]),)
+
+        def _chunk_copies(buf, tile, off):
+            src = pl.ds(_wb(tile) + off, 8)
+            dst = pl.ds(buf * jnp.int32(K128) + off, 8)
+            if dd:
+                return (pltpu.make_async_copy(xh_ref.at[src], xw.at[dst],
+                                              sem.at[buf]),
+                        pltpu.make_async_copy(xl_ref.at[src], xwl.at[dst],
+                                              seml.at[buf]))
+            return (pltpu.make_async_copy(x_ref.at[src], xw.at[dst],
+                                          sem.at[buf]),)
+
+        def dma_start(buf, tile):
+            if not chunked_w:
+                for c in dmas(buf, tile):
+                    c.start()
+                return
+
+            def body(c, carry):
+                for cp in _chunk_copies(buf, tile, c * jnp.int32(8)):
+                    cp.start()
+                return carry
+            jax.lax.fori_loop(jnp.int32(0), wb_ref[1, tile], body,
+                              jnp.int32(0))
+
+        def dma_wait(buf, tile):
+            if not chunked_w:
+                for c in dmas(buf, tile):
+                    c.wait()
+                return
+
+            def body(c, carry):
+                for cp in _chunk_copies(buf, tile, c * jnp.int32(8)):
+                    cp.wait()
+                return carry
+            jax.lax.fori_loop(jnp.int32(0), wb_ref[1, tile], body,
+                              jnp.int32(0))
 
         if static:
             # one DMA of the whole image at step 0; later tiles reuse it
@@ -233,16 +283,13 @@ def _make_kernel(S: int, G: int, KS: int, K128: int, T: int, dd: bool,
         else:
             @pl.when(i == 0)
             def _():
-                for c in dmas(slot, i):
-                    c.start()
+                dma_start(slot, i)
 
             @pl.when(i + 1 < T)
             def _():
-                for c in dmas(nxt, i + jnp.int32(1)):
-                    c.start()
+                dma_start(nxt, i + jnp.int32(1))
 
-            for c in dmas(slot, i):
-                c.wait()
+            dma_wait(slot, i)
 
         gather = ((lambda opnd, lane: opnd) if _ABLATE == "nogather"
                   else _lane_gather)
@@ -750,13 +797,32 @@ class DevicePlan:
             K128 = plan.K128
             if sub > 1:
                 (T, wbs, qb_s, lcol4, vals4, K128) = _superize(plan, sub)
-                self.wbase128 = jnp.asarray(wbs)                # (T_s,)
+                wb_np = np.asarray(wbs, np.int32)               # (T_s,)
+                qb_np = np.asarray(qb_s)
                 self.qb = jnp.asarray(qb_s)                     # (T_s,2,sub*S)
             else:
-                self.wbase128 = jnp.asarray(plan.wbase128)      # (T,)
+                wb_np = np.asarray(plan.wbase128, np.int32)     # (T,)
+                qb_np = np.asarray(plan.qb)
                 self.qb = jnp.asarray(plan.qb)                  # (T,2,S)
                 lcol4 = plan.lcol.reshape(T, S, G, 128)
                 vals4 = plan.vals.reshape(T, S, G, 128)
+            # chunked per-tile window DMA (see _make_kernel): ship each
+            # tile's 8-row chunk count as row 1 of the prefetch array so
+            # the DMA moves the tile's ACTUAL span instead of the
+            # plan-global max window (K128 follows the p99.9 outlier
+            # tiles; measured 22x the per-tile-ideal window traffic on
+            # the power-law stream at 21M nnz)
+            if (os.environ.get("ELLSPMV_TPU_CHUNKED_DMA", "1") != "0"
+                    and not plan.static_window and qb_np.size):
+                need = (qb_np[:, 0, :].astype(np.int64)
+                        + qb_np[:, 1, :]).max(axis=1)
+                if plan.slope:
+                    need += G - 1
+                wrows = np.clip(-(-need // 8), 0,
+                                K128 // 8).astype(np.int32)
+                self.wbase128 = jnp.asarray(np.stack([wb_np, wrows]))
+            else:
+                self.wbase128 = jnp.asarray(wb_np)
             self.cfg = PlanCfg(S, G, plan.KS, K128,
                                T, plan.nx128, plan.lead,
                                plan.slope, bool(plan.static_window),
