@@ -82,11 +82,17 @@ def main():
               f"(multi {lv.multi_len:,}), "
               f"router {'ON' if lv.perm is not None else 'OFF (sort)'}",
               flush=True)
+    print(f"  final: "
+          f"{'routed' if strm.ddsum.final_perm is not None else 'SORT'}",
+          flush=True)
     if strm.prod is not None:
         p = strm.prod.plan
         print(f"product plan: {p.num_tiles} tiles, G={p.G}, KS={p.KS}, "
               f"ks_mean={p.qb[:, 1, :].mean():.2f}, K128={p.K128}, "
               f"slope={p.slope}, static={p.static_window}", flush=True)
+        c = strm.prod.cfg
+        print(f"device plan: T={c.T}, sub={c.sub}, K128={c.K128}, "
+              f"unroll={c.unroll}, nacc={c.nacc}", flush=True)
 
     x = np.random.RandomState(1).rand(coo.num_columns)
     t0 = time.perf_counter()
@@ -146,13 +152,24 @@ def main():
             return ph[:a.shape[0]] * 1e-6, plo[:a.shape[0]] * 1e-6
 
         time_stage("products", prod_only)
-        if perm is not None and not perm.bpg:
-            # general route only (the cells route has no take stage);
-            # the perm rides as jit ARGUMENTS everywhere — numpy maps
-            # closed over become HLO constants whose serialized program
-            # blows the remote-compile request limit at 10x (HTTP 413)
-            from ellspmv_tpu.ops.permute import _w1, _w2
+        if perm is not None:
             perm_dev = perm.device_put()
+
+            def prod_route(op, a, b):
+                # the perm rides as jit ARGUMENTS — closing over it
+                # embedded the router maps as HLO constants, whose
+                # serialized program blew the remote-compile request
+                # limit at 10x scale (HTTP 413, r5_hw_log)
+                prod, pm = op
+                ph, plo = prod.apply_pair(a, b)
+                rh, rl = apply_permute(pm, ph.reshape(-1),
+                                       plo.reshape(-1))
+                return (rh[:a.shape[0]] * 1e-6, rl[:a.shape[0]] * 1e-6)
+            time_stage("products+route", prod_route,
+                       op=(strm.prod, perm_dev))
+        if perm is not None and not perm.bpg:
+            # general route only (the cells route has no take stage)
+            from ellspmv_tpu.ops.permute import _w1, _w2
 
             def _pad_blocks(pm, v):
                 v = jnp.pad(v.reshape(-1), (0, pm.n_in - v.size))
@@ -180,19 +197,6 @@ def main():
                         taken[1].reshape(-1)[:a.shape[0]] * 1e-6)
             time_stage("products+w1+take", prod_w1_take,
                        op=(strm.prod, perm_dev))
-
-            def prod_route(op, a, b):
-                # the perm rides inside `op` as jit ARGUMENTS — closing
-                # over it embedded the router maps as HLO constants,
-                # whose serialized program blew the remote-compile
-                # request limit at 10x scale (HTTP 413, r5_hw_log)
-                prod, pm = op
-                ph, plo = prod.apply_pair(a, b)
-                rh, rl = apply_permute(pm, ph.reshape(-1),
-                                       plo.reshape(-1))
-                return (rh[:a.shape[0]] * 1e-6, rl[:a.shape[0]] * 1e-6)
-            time_stage("products+route", prod_route,
-                       op=(strm.prod, perm))
 
 
 if __name__ == "__main__":

@@ -276,14 +276,43 @@ def stream_from_coo(coo: CooMatrix, separate_diagonal: bool = False,
                 nb_buckets = bpg_r + 1
                 bucket = mega_s * np.int64(nb_buckets) + d_loc
                 ob = _native.argsort(bucket.astype(np.uint64))
-                cnt = np.bincount(bucket,
-                                  minlength=int(ngr) * nb_buckets)
-                starts_b = np.concatenate(
-                    [[0], np.cumsum(cnt)]).astype(np.int64)
                 within_d = np.empty(nnz, np.int64)
+                starts_b = np.concatenate(
+                    [[0], np.cumsum(np.bincount(
+                        bucket, minlength=int(ngr) * nb_buckets))]
+                ).astype(np.int64)
                 within_d[ob] = np.arange(nnz) - starts_b[bucket[ob]]
-                qb = (within_d * bpg_r
-                      // np.maximum(cnt[bucket], 1)).astype(np.uint64)
+                # progress-anchored quota: each entry follows the
+                # GROUP's global column progress gp (so input blocks
+                # stay column-aligned across dest buckets — a pure
+                # per-bucket rank quota measured ks_mean 2.5 -> 8.4
+                # from inter-bucket quantile jitter), floored by its
+                # bucket's running quota b = floor(j/c + max_{i<=j}
+                # (gp_i - i/c)) with c = BLOCK/bpg: consecutive j
+                # mapping to one block span <= c+1 entries, a HARD
+                # <= (c+1)-per-cell bound (half the 2c cell capacity)
+                # at any scale or structure.
+                sizes0 = np.bincount(mega_s, minlength=ngr)
+                g_start = np.concatenate(
+                    [[0], np.cumsum(sizes0)]).astype(np.int64)
+                pos_g = np.arange(nnz) - g_start[mega_s]
+                gp = pos_g * bpg_r // np.maximum(sizes0[mega_s], 1)
+                c_quota = BLOCK // bpg_r
+                v = gp.astype(np.float64) - within_d / float(c_quota)
+                vo = v[ob]
+                bs = bucket[ob]
+                seg = np.flatnonzero(np.concatenate(
+                    [[True], bs[1:] != bs[:-1]]))
+                seg = np.append(seg, len(bs))
+                mo = np.empty_like(vo)
+                for si in range(len(seg) - 1):
+                    s0, s1 = seg[si], seg[si + 1]
+                    np.maximum.accumulate(vo[s0:s1], out=mo[s0:s1])
+                mprefix = np.empty_like(v)
+                mprefix[ob] = mo
+                qb = np.clip((within_d / float(c_quota)
+                              + mprefix).astype(
+                    np.int64), 0, bpg_r - 1).astype(np.uint64)
                 deal = _native.argsort(
                     (mega_s.astype(np.uint64) << np.uint64(8)) | qb)
                 pre = pre[deal]

@@ -462,23 +462,14 @@ def _build_level(dest: np.ndarray, n_rows: int, cap: int,
         vrow_multi = (counts > cap)[parent]          # (n_vrows,)
         if force_multi is not None:
             vrow_multi |= force_multi[parent]
-    if scramble:
-        # cells-route decorrelation: the stable lexsort otherwise keeps
-        # equal-count rows in row-id order, so a dest block is a
-        # CONTIGUOUS row range — and near-diagonal matrices put those
-        # rows' columns in one input block of the uniform-cell router
-        # (measured: worst (b,d) cell = 6,842 entries from ~3,400
-        # consecutive rows x ~2 near-diagonal entries vs cap 2,048 at
-        # power-law 21M nnz). A multiplicative-hash tie-break scatters
-        # each dest block's rows across the chunk's whole row space;
-        # counts stay descending within tiles (hash is the LAST key).
-        h = ((np.arange(n_vrows, dtype=np.uint64)
-              * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(33)).astype(np.int64)
-        sigperm = np.lexsort((h, -vcounts,
-                              np.where(vrow_multi, 0, 1)))
-    else:
-        sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
+    # (a sigma hash tie-break was tried here for the cells route: it
+    # scattered each dest block's rows across the chunk and fixed the
+    # near-diagonal cell overloads, but it also scattered every TERMINAL
+    # tile's rows, blowing the FINAL reorder's (input block, dest block)
+    # grouping budget past ~4M rows — the final route silently degraded
+    # to a 10M-key runtime lax.sort, ~40 ms at 10x scale. The quota deal
+    # in formats/stream.py hard-bounds cell loads without it.)
+    sigperm = np.lexsort((-vcounts, np.where(vrow_multi, 0, 1)))
     n_multi_v = int(vrow_multi.sum())
     n_multi_pad = _round_up(n_multi_v, R) if n_multi_v else 0
     n_single_v = n_vrows - n_multi_v
